@@ -1,0 +1,137 @@
+"""Host-side batch loader feeding device-resident training steps.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` usage
+(reference src/test_system.py:59-71 etc.).  Design:
+
+- Batches are stacked numpy arrays with STATIC shapes (``drop_last`` for
+  training loops so every jitted step sees one shape -- avoiding the
+  dynamic-shape recompiles the reference never had to think about).
+- ``iter_raw()`` bypasses the dataset's per-item transform and yields raw
+  uint8 NHWC batches: the hot path, where normalization + augmentation run
+  batched on the TPU inside the jitted train step.
+- A background prefetch thread overlaps image decode (cv2 releases the
+  GIL) with device compute.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from uda_aerial_semantic_segmentation_research_tpu.data.dataset import Subset
+
+
+def _unwrap_raw(dataset, idx: int):
+    """Fetch the *untransformed* sample, unwrapping Subset views."""
+    while isinstance(dataset, Subset):
+        idx = dataset.indices[idx]
+        dataset = dataset.dataset
+    if hasattr(dataset, "load_raw"):
+        return dataset.load_raw(idx)
+    return dataset[idx]
+
+
+def _stack(samples):
+    """Stack a list of samples (arrays or tuples of arrays) into batch arrays."""
+    first = samples[0]
+    if isinstance(first, tuple):
+        return tuple(np.stack([s[i] for s in samples]) for i in range(len(first)))
+    return np.stack(samples)
+
+
+class DataLoader:
+    """Minimal batching iterator over a dataset.
+
+    Args:
+        dataset: anything with ``__len__``/``__getitem__`` (DroneDataset,
+            TargetDataset, Subset).
+        batch_size: samples per batch.
+        shuffle: reshuffle order each epoch (ignored when ``sampler`` given).
+        sampler: optional index sampler (e.g. ``WeightedRandomSampler``).
+        drop_last: drop the trailing partial batch (keeps shapes static).
+        num_workers: >0 enables background prefetching of ``num_workers + 1``
+            batches (thread-based; decode releases the GIL).
+        seed: shuffle seed.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        sampler=None,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        pin_memory: bool = False,  # accepted for API parity; no-op on TPU host
+        seed: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.sampler = sampler
+        self.drop_last = drop_last
+        self.num_workers = int(num_workers)
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    # ------------------------------------------------------------------
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            idx = self._rng.permutation(idx)
+        return idx.tolist()
+
+    def _batched_indices(self):
+        idx = self._indices()
+        nb = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
+        for b in range(nb):
+            chunk = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            if chunk:
+                yield chunk
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # ------------------------------------------------------------------
+    def _iter_batches(self, fetch) -> Iterator:
+        self._epoch += 1
+        batches = self._batched_indices()
+        if self.num_workers <= 0:
+            for chunk in batches:
+                yield _stack([fetch(self.dataset, i) for i in chunk])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_workers + 1)
+        _SENTINEL = object()
+
+        def producer():
+            try:
+                for chunk in batches:
+                    q.put(_stack([fetch(self.dataset, i) for i in chunk]))
+                q.put(_SENTINEL)
+            except BaseException as e:  # surface decode errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def __iter__(self):
+        """Yield batches with the dataset's transform applied (parity path)."""
+        return self._iter_batches(lambda ds, i: ds[i])
+
+    def iter_raw(self):
+        """Yield raw uint8 batches, transform bypassed (device-augment hot path)."""
+        return self._iter_batches(_unwrap_raw)

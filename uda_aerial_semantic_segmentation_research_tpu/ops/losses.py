@@ -1,0 +1,269 @@
+"""Task losses as pure jittable functions.
+
+Functional counterparts of the reference loss classes
+(reference src/models/losses.py):
+
+- ``AdversarialLoss``            (:7-51)   BCE src=1 / tgt=0, generator flip
+- ``ConsistencyLoss``            (:53-108) symmetric temperature-scaled KL
+- ``DiceLoss``                   (:110-152) softmax dice, smooth=1.0
+- ``WeightedSegmentationLoss``   (:154-215) focal(alpha, gamma) + dice
+- ``calculate_class_weights``    (:217-254) effective-samples / inverse-freq
+- ``FineTuningLoss``             (:256-342) rampup * (consistency + confusion)
+
+Logit convention (deliberate divergence, documented): the reference's
+image-level discriminator ends in Sigmoid yet its losses use
+BCEWithLogitsLoss on those *probabilities* (reference
+src/models/discriminator.py:41 + src/models/losses.py:16) -- a silent
+double-squash bug.  Here discriminators produce LOGITS on the training
+path and all adversarial losses are proper logit-BCE; probability outputs
+exist only at the inference/metrics surface.
+
+All reductions accumulate in float32 regardless of input dtype.
+Shapes: segmentation logits are NHWC ``(B, H, W, C)`` (TPU-native
+channels-last; the reference is NCHW).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+def sigmoid_bce_with_logits(logits, labels):
+    """Numerically-stable mean BCE-with-logits (torch BCEWithLogitsLoss semantics)."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    neg_abs = -jnp.abs(logits)
+    loss = jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(jnp.exp(neg_abs))
+    return jnp.mean(loss)
+
+
+def softmax_cross_entropy(logits, labels, class_weights=None, reduction="mean"):
+    """Per-pixel CE over channel-last logits.
+
+    ``logits``: (..., C) float; ``labels``: (...) int.  With class weights,
+    mean reduction divides by the summed weights of the realized labels
+    (torch ``F.cross_entropy(weight=...)`` semantics).
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    if class_weights is not None:
+        w = jnp.asarray(class_weights, dtype=jnp.float32)[labels]
+        nll = nll * w
+        if reduction == "mean":
+            return jnp.sum(nll) / jnp.maximum(jnp.sum(w), 1e-12)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "sum":
+        return jnp.sum(nll)
+    return nll
+
+
+def one_hot_nhwc(labels, num_classes: int):
+    return jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# adversarial (reference src/models/losses.py:7-51)
+# ---------------------------------------------------------------------------
+class AdversarialLoss:
+    """Domain-adversarial BCE losses over discriminator LOGITS.
+
+    Label convention matches the reference: source=1, target=0
+    (discriminator_loss averages the two); generator_loss pushes target
+    predictions toward 1, scaled by ``lambda_adv``.
+    """
+
+    def __init__(self, lambda_adv: float = 0.001):
+        self.lambda_adv = float(lambda_adv)
+
+    def discriminator_loss(self, source_logits, target_logits):
+        src = sigmoid_bce_with_logits(source_logits, jnp.ones_like(source_logits))
+        tgt = sigmoid_bce_with_logits(target_logits, jnp.zeros_like(target_logits))
+        return (src + tgt) / 2.0
+
+    def generator_loss(self, target_logits):
+        return self.lambda_adv * sigmoid_bce_with_logits(
+            target_logits, jnp.ones_like(target_logits))
+
+
+# ---------------------------------------------------------------------------
+# consistency (reference src/models/losses.py:53-108)
+# ---------------------------------------------------------------------------
+class ConsistencyLoss:
+    """Symmetric temperature-scaled KL between two prediction heads.
+
+    Matches torch ``F.kl_div(log_softmax(p/T), softmax(q/T),
+    reduction='batchmean')`` in both directions, averaged -- i.e. the sum
+    over classes and pixels divided by the BATCH size only.
+    """
+
+    def __init__(self, temperature: float = 0.5):
+        self.temperature = float(temperature)
+
+    def __call__(self, pred1, pred2):
+        t = self.temperature
+        p1 = pred1.astype(jnp.float32) / t
+        p2 = pred2.astype(jnp.float32) / t
+        logq1 = jax.nn.log_softmax(p1, axis=-1)
+        logq2 = jax.nn.log_softmax(p2, axis=-1)
+        q1 = jnp.exp(logq1)
+        q2 = jnp.exp(logq2)
+        b = pred1.shape[0]
+        # KL(q2 || q1) with batchmean reduction
+        kl1 = jnp.sum(q2 * (logq2 - logq1)) / b
+        kl2 = jnp.sum(q1 * (logq1 - logq2)) / b
+        return (kl1 + kl2) / 2.0
+
+    def get_similarity_matrix(self, pred1, pred2):
+        """Per-pixel cosine similarity between softmax maps -> (B, H, W)."""
+        q1 = jax.nn.softmax(pred1.astype(jnp.float32), axis=-1)
+        q2 = jax.nn.softmax(pred2.astype(jnp.float32), axis=-1)
+        num = jnp.sum(q1 * q2, axis=-1)
+        den = jnp.linalg.norm(q1, axis=-1) * jnp.linalg.norm(q2, axis=-1)
+        return num / jnp.maximum(den, 1e-8)
+
+
+# ---------------------------------------------------------------------------
+# dice (reference src/models/losses.py:110-152)
+# ---------------------------------------------------------------------------
+class DiceLoss:
+    """Multiclass soft-dice: softmax probs vs one-hot, smooth=1.0, 1 - mean dice."""
+
+    def __init__(self, smooth: float = 1.0):
+        self.smooth = float(smooth)
+
+    def __call__(self, predictions, targets):
+        """``predictions``: (B, H, W, C) logits; ``targets``: (B, H, W) int
+        or (B, H, W, C) one-hot."""
+        num_classes = predictions.shape[-1]
+        probs = jax.nn.softmax(predictions.astype(jnp.float32), axis=-1)
+        if targets.ndim == predictions.ndim - 1:
+            targets = one_hot_nhwc(targets, num_classes)
+        targets = targets.astype(jnp.float32)
+        intersection = jnp.sum(probs * targets, axis=(1, 2))      # (B, C)
+        union = jnp.sum(probs, axis=(1, 2)) + jnp.sum(targets, axis=(1, 2))
+        dice = (2.0 * intersection + self.smooth) / (union + self.smooth)
+        return 1.0 - jnp.mean(dice)
+
+
+# ---------------------------------------------------------------------------
+# weighted segmentation (reference src/models/losses.py:154-215)
+# ---------------------------------------------------------------------------
+class WeightedSegmentationLoss:
+    """Class-weighted focal + dice combination.
+
+    Reference quirk preserved: ``pt = exp(-ce)`` is computed from the
+    *class-weighted* CE, so the focal modulation also sees the weights.
+    """
+
+    def __init__(self, num_classes: int, class_weights=None,
+                 alpha: float = 0.25, gamma: float = 2.0, reduction: str = "mean"):
+        self.num_classes = num_classes
+        self.class_weights = (jnp.ones(num_classes, jnp.float32)
+                              if class_weights is None
+                              else jnp.asarray(class_weights, jnp.float32))
+        self.alpha = float(alpha)
+        self.gamma = float(gamma)
+        self.reduction = reduction
+        self.dice_loss = DiceLoss()
+
+    def focal_loss(self, logits, targets):
+        logits = logits.astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
+                                   axis=-1)[..., 0]
+        ce = nll * self.class_weights[targets]
+        pt = jnp.exp(-ce)
+        focal = self.alpha * (1.0 - pt) ** self.gamma * ce
+        return jnp.mean(focal) if self.reduction == "mean" else jnp.sum(focal)
+
+    def __call__(self, logits, targets, domain_weight: float = 1.0):
+        focal = self.focal_loss(logits, targets)
+        dice = self.dice_loss(logits, one_hot_nhwc(targets, self.num_classes))
+        return domain_weight * (focal + dice)
+
+
+# ---------------------------------------------------------------------------
+# class weights (reference src/models/losses.py:217-254)
+# ---------------------------------------------------------------------------
+def calculate_class_weights(dataset, num_classes: int,
+                            method: str = "effective_samples") -> np.ndarray:
+    """Per-class weights from pixel frequencies.
+
+    Accepts any dataset yielding (image, mask) OR one exposing the
+    ``class_stats`` dict our DroneDataset precomputes (single decode pass).
+    """
+    counts = np.zeros(num_classes, dtype=np.float64)
+    stats = getattr(dataset, "class_stats", None)
+    if stats:
+        for cls, c in stats.items():
+            if 0 <= int(cls) < num_classes:
+                counts[int(cls)] += c
+    else:
+        for _, mask in dataset:
+            m = np.asarray(mask)
+            binc = np.bincount(m.reshape(-1), minlength=num_classes)
+            counts += binc[:num_classes]
+
+    counts = np.clip(counts, 1.0, None)
+    if method == "effective_samples":
+        beta = 0.9999
+        effective = 1.0 - np.power(beta, counts)
+        weights = (1.0 - beta) / effective
+    else:
+        weights = 1.0 / counts
+    weights = weights / weights.sum() * num_classes
+    return weights.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# fine-tuning (reference src/models/losses.py:256-342)
+# ---------------------------------------------------------------------------
+class FineTuningLoss:
+    """Phase-3 combined loss: rampup * (consistency + domain confusion)
+    [+ supervised dice], returning the reference's component dict
+    {'total', 'consistency', 'domain_confusion', 'supervised', 'rampup_weight'}.
+    """
+
+    def __init__(self, consistency_weight: float = 1.0, domain_weight: float = 0.1,
+                 supervised_weight: float = 0.1, rampup_length: int = 40,
+                 temperature: float = 0.5):
+        self.consistency_loss = ConsistencyLoss(temperature=temperature)
+        self.domain_loss = AdversarialLoss(lambda_adv=domain_weight)
+        self.supervised_loss = DiceLoss()
+        self.consistency_weight = float(consistency_weight)
+        self.domain_weight = float(domain_weight)
+        self.supervised_weight = float(supervised_weight)
+        self.rampup_length = int(rampup_length)
+
+    def rampup(self, epoch) -> jnp.ndarray:
+        """Linear 0 -> 1 over ``rampup_length`` epochs (jit-safe on traced epoch)."""
+        e = jnp.asarray(epoch, jnp.float32)
+        return jnp.clip(e / self.rampup_length, 0.0, 1.0)
+
+    def __call__(self, pred1, pred2, domain_logits, epoch,
+                 supervised_pred=None, supervised_target=None) -> Dict[str, jnp.ndarray]:
+        rampup_weight = self.rampup(epoch)
+        consistency = self.consistency_loss(pred1, pred2)
+        domain_confusion = self.domain_loss.generator_loss(domain_logits)
+        total = (consistency * self.consistency_weight * rampup_weight
+                 + domain_confusion * self.domain_weight * rampup_weight)
+        supervised = jnp.asarray(0.0, jnp.float32)
+        if supervised_pred is not None and supervised_target is not None:
+            supervised = self.supervised_loss(supervised_pred, supervised_target)
+            total = total + supervised * self.supervised_weight
+        return {
+            "total": total,
+            "consistency": jax.lax.stop_gradient(consistency),
+            "domain_confusion": jax.lax.stop_gradient(domain_confusion),
+            "supervised": jax.lax.stop_gradient(supervised),
+            "rampup_weight": rampup_weight,
+        }
