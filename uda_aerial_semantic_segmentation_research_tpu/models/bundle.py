@@ -1,0 +1,117 @@
+"""ModelBundle: a Flax module paired with its variables.
+
+JAX separates architecture (module) from state (params/batch_stats);
+the reference's API hands around stateful ``nn.Module`` objects
+(``model.state_dict()``, ``model(x)``).  ``ModelBundle`` bridges the two:
+
+- trainers extract ``bundle.variables`` into an immutable ``TrainState``
+  for jitted pure steps and write the result back between epochs;
+- the user-facing surface (test_system suites, predict, PhaseManager)
+  gets the reference-shaped ``state_dict`` / ``load_state_dict`` /
+  ``__call__`` conveniences (reference src/test_system.py:259-260).
+
+``state_dict`` flattens the pytree to ``{'a/b/c': np.ndarray}`` so
+checkpoints are framework-neutral numpy blobs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.core import freeze, unfreeze
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+class ModelBundle:
+    """A module plus its current variables, with stateful conveniences."""
+
+    def __init__(self, module, variables: Dict[str, Any], rng: Optional[jax.Array] = None):
+        self.module = module
+        self.variables = unfreeze(variables)
+        self.rng = rng if rng is not None else jax.random.key(0)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, module, sample_input, rng: Optional[jax.Array] = None, **apply_kwargs):
+        rng = rng if rng is not None else jax.random.key(0)
+        variables = module.init(rng, sample_input, **apply_kwargs)
+        return cls(module, variables, rng)
+
+    # ------------------------------------------------------------------
+    @property
+    def params(self):
+        return self.variables["params"]
+
+    @property
+    def batch_stats(self):
+        return self.variables.get("batch_stats", {})
+
+    def update(self, params=None, batch_stats=None):
+        if params is not None:
+            self.variables["params"] = params
+        if batch_stats is not None:
+            self.variables["batch_stats"] = batch_stats
+
+    def param_count(self) -> int:
+        return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.params))
+
+    # ------------------------------------------------------------------
+    def apply(self, x, train: bool = False, variables=None, **kwargs):
+        """Pure apply.  When ``train``, returns (out, new_batch_stats)."""
+        v = variables if variables is not None else self.variables
+        if train and "batch_stats" in v:
+            out, mut = self.module.apply(v, x, train=True,
+                                         mutable=["batch_stats"], **kwargs)
+            return out, mut["batch_stats"]
+        return self.module.apply(v, x, train=train, **kwargs)
+
+    def __call__(self, x, train: bool = False, **kwargs):
+        """Stateful convenience call; updates held batch_stats when training."""
+        x = jnp.asarray(x)
+        if train and "batch_stats" in self.variables:
+            out, new_stats = self.apply(x, train=True, **kwargs)
+            self.variables["batch_stats"] = unfreeze(new_stats)
+            return out
+        return self.apply(x, train=False, **kwargs)
+
+    # ------------------------------------------------------------------
+    # reference-shaped checkpoint surface
+    # ------------------------------------------------------------------
+    def state_dict(self) -> Dict[str, np.ndarray]:
+        flat = flatten_dict(self.variables, sep="/")
+        return {k: np.asarray(jax.device_get(v)) for k, v in flat.items()}
+
+    def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = True):
+        own = flatten_dict(self.variables, sep="/")
+        missing = set(own) - set(state)
+        unexpected = set(state) - set(own)
+        if strict and (missing or unexpected):
+            raise ValueError(
+                f"state_dict mismatch: missing={sorted(missing)[:5]} "
+                f"unexpected={sorted(unexpected)[:5]}")
+        merged = {}
+        for k, v in own.items():
+            new = state.get(k, v)
+            new = jnp.asarray(new, dtype=v.dtype)
+            if new.shape != v.shape:
+                raise ValueError(f"shape mismatch for {k}: {new.shape} vs {v.shape}")
+            merged[k] = new
+        self.variables = unfreeze(unflatten_dict(
+            {tuple(k.split("/")): v for k, v in merged.items()}))
+        return self
+
+    # torch-API shims so generic phase-manager / trainer code stays simple
+    def train(self, mode: bool = True):
+        return self
+
+    def eval(self):
+        return self
+
+    def to(self, device):
+        return self
+
+    def parameters(self):
+        return jax.tree.leaves(self.params)

@@ -1,0 +1,140 @@
+"""ResNet encoders (NHWC, Flax) producing U-Net feature pyramids.
+
+The reference delegates its encoder to segmentation_models_pytorch
+(``smp.Unet(encoder_name=...)``, instantiated at reference
+src/test_system.py:90-95).  Here the encoder is a native Flax module:
+
+- NHWC layout, bf16 compute / fp32 params (MXU-friendly),
+- BatchNorm whose batch statistics are GLOBAL under pjit data
+  parallelism for free (jnp.mean over the sharded batch lowers to a
+  cross-replica reduction),
+- returns the 6-level feature pyramid smp-style:
+  [identity, stem(/2), stage1(/4), stage2(/8), stage3(/16), stage4(/32)].
+
+Channel signatures match the torchvision/smp encoders so a converted
+ImageNet checkpoint drops in:
+  resnet18/34: (3, 64, 64, 128, 256, 512)
+  resnet50:    (3, 64, 256, 512, 1024, 2048)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 + 3x3 residual block (resnet18/34)."""
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1),
+                                 (self.strides, self.strides), name="downsample_conv")(x)
+            residual = self.norm(name="downsample_norm")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual block (resnet50+)."""
+
+    filters: int
+    strides: int
+    conv: ModuleDef
+    norm: ModuleDef
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1))(y)
+        y = self.norm(scale_init=nn.initializers.zeros)(y)
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * self.expansion, (1, 1),
+                                 (self.strides, self.strides), name="downsample_conv")(x)
+            residual = self.norm(name="downsample_norm")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetEncoder(nn.Module):
+    """ResNet backbone returning the smp-style 6-feature pyramid."""
+
+    stage_sizes: Sequence[int]
+    block_cls: Callable
+    in_channels: int = 3
+    num_filters: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, padding="SAME",
+                       dtype=self.dtype, param_dtype=jnp.float32)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5,
+                       dtype=self.dtype, param_dtype=jnp.float32)
+
+        features = [x]
+        y = conv(self.num_filters, (7, 7), (2, 2), name="stem_conv")(
+            x.astype(self.dtype))
+        y = norm(name="stem_norm")(y)
+        y = nn.relu(y)
+        features.append(y)                                   # /2
+
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        for stage, n_blocks in enumerate(self.stage_sizes):
+            for blk in range(n_blocks):
+                strides = 2 if stage > 0 and blk == 0 else 1
+                y = self.block_cls(
+                    filters=self.num_filters * 2 ** stage,
+                    strides=strides, conv=conv, norm=norm,
+                    name=f"stage{stage + 1}_block{blk}")(y)
+            features.append(y)                               # /4 /8 /16 /32
+        return features
+
+
+ENCODERS = {
+    "resnet18": dict(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock,
+                     out_channels=(3, 64, 64, 128, 256, 512)),
+    "resnet34": dict(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock,
+                     out_channels=(3, 64, 64, 128, 256, 512)),
+    "resnet50": dict(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+                     out_channels=(3, 64, 256, 512, 1024, 2048)),
+}
+
+
+def encoder_out_channels(encoder_name: str) -> Tuple[int, ...]:
+    return ENCODERS[encoder_name]["out_channels"]
+
+
+def build_encoder(encoder_name: str, in_channels: int = 3,
+                  dtype: Any = jnp.bfloat16) -> ResNetEncoder:
+    if encoder_name not in ENCODERS:
+        raise ValueError(
+            f"Unknown encoder '{encoder_name}'; available: {sorted(ENCODERS)}")
+    spec = ENCODERS[encoder_name]
+    return ResNetEncoder(stage_sizes=spec["stage_sizes"],
+                         block_cls=spec["block_cls"],
+                         in_channels=in_channels, dtype=dtype)
