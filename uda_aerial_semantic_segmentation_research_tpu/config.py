@@ -57,6 +57,24 @@ class Config:
     DEVICE: str = "auto"                  # 'auto' | 'tpu' | 'cpu'
 
     @classmethod
+    def apply_env_overrides(cls) -> None:
+        """Scale-down knobs for CPU/CI runs via environment variables.
+
+        ``UDA_TPU_IMAGE_SIZE`` / ``UDA_TPU_ENCODER`` / ``UDA_TPU_BATCH_SIZE``
+        / ``UDA_TPU_NUM_CLASSES`` override the defaults (the reference
+        scales its memory-heavy suites down with hardcoded kwargs,
+        reference src/test_system.py:617-657; env vars keep one CLI).
+        """
+        if os.environ.get("UDA_TPU_IMAGE_SIZE"):
+            cls.IMAGE_SIZE = int(os.environ["UDA_TPU_IMAGE_SIZE"])
+        if os.environ.get("UDA_TPU_ENCODER"):
+            cls.ENCODER_NAME = os.environ["UDA_TPU_ENCODER"]
+        if os.environ.get("UDA_TPU_BATCH_SIZE"):
+            cls.BATCH_SIZE = int(os.environ["UDA_TPU_BATCH_SIZE"])
+        if os.environ.get("UDA_TPU_NUM_CLASSES"):
+            cls.NUM_CLASSES = int(os.environ["UDA_TPU_NUM_CLASSES"])
+
+    @classmethod
     def get_device(cls) -> str:
         """Return the JAX backend in use ('tpu' / 'cpu' / ...).
 

@@ -1,0 +1,15 @@
+"""Inference: single-image / batch prediction and the batch-prediction CLI."""
+
+from uda_aerial_semantic_segmentation_research_tpu.inference.predict import (
+    create_colored_mask,
+    create_overlay,
+    load_class_dict,
+    predict_batch,
+    predict_mask,
+    test_model,
+)
+
+__all__ = [
+    "predict_mask", "predict_batch", "test_model", "create_colored_mask",
+    "create_overlay", "load_class_dict",
+]

@@ -1,0 +1,237 @@
+"""Single-image and batch inference.
+
+Counterpart of reference src/models/predict.py:
+
+- ``load_class_dict``      (:10-20)
+- ``create_colored_mask``  (:22-36)   class-dict RGB colorization
+- ``create_overlay``       (:38-68)   binary red-mask overlay
+- ``predict_mask``         (:70-111)  normalize/resize -> model -> sigmoid>0.5
+- ``predict_batch``        (:113-130) argmax multiclass path
+- ``test_model``           (:132-280) batch prediction CLI writing
+                            predictions/overlays/colored_masks +
+                            prediction_stats.txt
+
+The reference's ``predict_mask`` thresholds sigmoid outputs even though
+the model is multiclass (its documented behavior, asserted only on
+shape by the test harness); that contract is preserved here, and
+``predict_batch`` remains the correct argmax path.  The reference
+``test_model`` is broken as shipped (missing imports, mismatched
+``predict_mask`` call, reference predict.py:14,152,221); this version
+implements what it was evidently meant to do.
+
+Images are NHWC throughout (TPU-native channels-last).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uda_aerial_semantic_segmentation_research_tpu.config import Config
+from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+    denormalize_images,
+    normalize_images,
+)
+from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
+    load_checkpoint,
+)
+
+
+def load_class_dict():
+    """Class-color dictionary CSV (reference predict.py:10-20)."""
+    import pandas as pd
+
+    csv_path = os.path.join(Config.DATA_DIR, "class_dict_seg.csv")
+    try:
+        df = pd.read_csv(csv_path, skipinitialspace=True)
+        return df
+    except Exception as e:
+        print(f"Error loading class dictionary: {e}")
+        return None
+
+
+def create_colored_mask(prediction: np.ndarray, class_df) -> np.ndarray:
+    """Integer label map -> RGB uint8 using the class dict (reference :22-36)."""
+    prediction = np.asarray(prediction)
+    h, w = prediction.shape
+    colored = np.zeros((h, w, 3), dtype=np.uint8)
+    for idx, row in class_df.iterrows():
+        rgb = [int(row.iloc[1]), int(row.iloc[2]), int(row.iloc[3])]
+        colored[prediction == idx] = rgb
+    return colored
+
+
+def create_overlay(image, mask, alpha: float = 0.5):
+    """Red-on-image binary overlay (reference :38-68).
+
+    ``image``: HWC uint8/float array or normalized model input;
+    ``mask``: binary/label 2-D array.  Returns uint8 HWC.
+    """
+    img = np.asarray(image)
+    if img.dtype.name == "bfloat16":
+        img = img.astype(np.float32)
+    if img.ndim == 3 and img.shape[0] == 3 and img.shape[-1] != 3:
+        img = np.transpose(img, (1, 2, 0))
+    if np.issubdtype(img.dtype, np.floating):
+        if img.min() < -0.01:  # normalized input -> denormalize
+            img = np.asarray(denormalize_images(jnp.asarray(img)))
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    mask = np.asarray(mask)
+    mask_colored = np.zeros((*mask.shape, 3), dtype=np.uint8)
+    mask_colored[mask > 0] = [255, 0, 0]
+    out = (img.astype(np.float32) * (1 - alpha)
+           + mask_colored.astype(np.float32) * alpha)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _resize_hwc(img: np.ndarray, size: int) -> np.ndarray:
+    import cv2
+
+    if img.shape[:2] != (size, size):
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    return img
+
+
+def _prepare_input(img, image_size: int) -> jnp.ndarray:
+    """PIL / ndarray / jax array -> normalized float32 (1, H, W, 3)."""
+    try:
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            img = np.asarray(img.convert("RGB"))
+    except ImportError:
+        pass
+
+    arr = np.asarray(img, dtype=np.float32) if not isinstance(img, jnp.ndarray) \
+        else np.asarray(img, dtype=np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+        arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+
+    if arr.max() > 1.5:                      # raw uint8-ranged
+        arr = _resize_hwc(arr.astype(np.uint8), image_size).astype(np.float32)
+        arr = np.asarray(normalize_images(jnp.asarray(arr, jnp.uint8)))
+    elif arr.min() >= -0.01:                 # [0,1] floats
+        arr = _resize_hwc(arr, image_size)
+        arr = (arr - np.asarray(Config.NORMALIZE_MEAN, np.float32)) / np.asarray(
+            Config.NORMALIZE_STD, np.float32)
+    else:                                    # already normalized
+        arr = _resize_hwc(arr, image_size)
+    return jnp.asarray(arr)[None]
+
+
+def _apply(model, x, **kwargs):
+    """Run a ModelBundle / DomainAdaptationModel forward in eval mode."""
+    out = model(x, **kwargs) if callable(model) else model.apply(x)
+    return out
+
+
+def predict_mask(model, img, device=None):
+    """Single-image prediction, sigmoid>0.5 binary path (reference :70-111).
+
+    Returns the thresholded mask as numpy with the batch dim squeezed.
+    """
+    image_size = Config.IMAGE_SIZE
+    x = _prepare_input(img, image_size)
+    logits = _apply(model, x)
+    probs = jax.nn.sigmoid(jnp.asarray(logits, jnp.float32))
+    mask = (probs > 0.5).astype(jnp.float32)
+    return np.asarray(jax.device_get(jnp.squeeze(mask)))
+
+
+def predict_batch(model, images, device=None):
+    """Batch argmax prediction (reference :113-130).
+
+    ``images``: (B, H, W, C) raw uint8 or normalized float NHWC (CHW
+    accepted).  Returns int label maps (B, H, W) as numpy.
+    """
+    arr = np.asarray(images)
+    if arr.ndim == 4 and arr.shape[1] == 3 and arr.shape[-1] != 3:
+        arr = np.transpose(arr, (0, 2, 3, 1))
+    if np.issubdtype(arr.dtype, np.integer):
+        x = normalize_images(jnp.asarray(arr))
+    else:
+        x = jnp.asarray(arr, jnp.float32)
+    logits = _apply(model, x)
+    preds = jnp.argmax(jnp.asarray(logits), axis=-1)
+    return np.asarray(jax.device_get(preds))
+
+
+def test_model(model_path: str, test_dir: str, output_dir: str,
+               model=None, batch_size: Optional[int] = None,
+               max_images: Optional[int] = None):
+    """Batch-prediction CLI (reference :132-280, fixed).
+
+    Loads a checkpoint into ``model`` (a ModelBundle; created fresh when
+    None), predicts every image under ``test_dir``, and writes
+    ``predictions/`` (grayscale label maps), ``colored_masks/``,
+    ``overlays/`` and a ``prediction_stats.txt`` class-distribution
+    report under ``output_dir``.
+    """
+    import cv2
+
+    from uda_aerial_semantic_segmentation_research_tpu.data.target_dataset import (
+        TargetDataset,
+    )
+
+    batch_size = batch_size or Config.BATCH_SIZE
+    output_dir = Path(output_dir)
+    pred_dir = output_dir / "predictions"
+    colored_dir = output_dir / "colored_masks"
+    overlay_dir = output_dir / "overlays"
+    for d in (pred_dir, colored_dir, overlay_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    if model is None:
+        from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+
+        model = create_unet()
+    if model_path and os.path.exists(model_path):
+        ckpt = load_checkpoint(model_path)
+        state = ckpt.get("model_state_dict", ckpt)
+        model.load_state_dict(state, strict=False)
+        print(f"Loaded checkpoint from {model_path}")
+
+    class_df = load_class_dict()
+    dataset = TargetDataset(images_dir=test_dir, verbose=False,
+                            target_size=(Config.IMAGE_SIZE, Config.IMAGE_SIZE))
+    names = dataset.images[:max_images] if max_images else dataset.images
+
+    num_classes = getattr(model.module, "classes", Config.NUM_CLASSES)
+    class_pixels = np.zeros(num_classes, dtype=np.int64)
+    n_done = 0
+    for start in range(0, len(names), batch_size):
+        chunk = names[start:start + batch_size]
+        imgs = np.stack([dataset.load_raw(dataset.images.index(n)) for n in chunk])
+        preds = predict_batch(model, imgs)
+        for name, img, pred in zip(chunk, imgs, preds):
+            stem = Path(name).stem
+            cv2.imwrite(str(pred_dir / f"{stem}.png"), pred.astype(np.uint8))
+            if class_df is not None:
+                colored = create_colored_mask(pred, class_df)
+                cv2.imwrite(str(colored_dir / f"{stem}.png"),
+                            cv2.cvtColor(colored, cv2.COLOR_RGB2BGR))
+            overlay = create_overlay(img, pred > 0)
+            cv2.imwrite(str(overlay_dir / f"{stem}.png"),
+                        cv2.cvtColor(overlay, cv2.COLOR_RGB2BGR))
+            binc = np.bincount(pred.reshape(-1), minlength=num_classes)
+            class_pixels += binc[:num_classes]
+            n_done += 1
+
+    total = max(int(class_pixels.sum()), 1)
+    lines = [f"Prediction statistics over {n_done} images", "=" * 40]
+    for c in range(num_classes):
+        name = (str(class_df.iloc[c, 0]).strip()
+                if class_df is not None and c < len(class_df) else f"class_{c}")
+        frac = class_pixels[c] / total
+        lines.append(f"{c:3d} {name:20s} {class_pixels[c]:>12d} ({frac:6.2%})")
+    (output_dir / "prediction_stats.txt").write_text("\n".join(lines) + "\n")
+    print(f"Wrote predictions for {n_done} images to {output_dir}")
+    return n_done

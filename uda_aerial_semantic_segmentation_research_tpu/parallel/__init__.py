@@ -1,0 +1,31 @@
+"""SPMD parallelism over a TPU device mesh.
+
+The reference is strictly single-device (no torch.distributed / NCCL /
+MPI anywhere -- SURVEY.md section 2.2).  Scaling here is TPU-native:
+
+- one ``jax.sharding.Mesh`` over the slice with a ``data`` axis,
+- batches sharded ``P('data')``, params/optimizer state replicated,
+- the jitted train step is written once for the GLOBAL batch; XLA's
+  SPMD partitioner inserts the gradient all-reduce (``psum``) and the
+  cross-chip BatchNorm moment reduction over ICI automatically,
+- eval confusion-matrix histograms add elementwise, so distributed
+  eval is the same step function under the same mesh.
+"""
+
+from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    default_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "create_mesh",
+    "default_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+]

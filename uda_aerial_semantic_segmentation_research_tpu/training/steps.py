@@ -1,0 +1,270 @@
+"""Jitted training/eval step factories.
+
+Each factory closes over the static pieces (modules, loss config,
+augmentation config) and returns ONE jit-compiled pure function of
+(state, rng key, host batch).  Properties shared by every step:
+
+- **Augmentation runs inside the step**: raw uint8 batches go straight
+  to the device; decode-normalize-augment fuse with the forward pass
+  (replacing the reference's per-image CPU albumentations round trip,
+  reference src/models/unsupervised_trainer.py:100-114).
+- **State is donated**: buffers update in place on device.
+- **Data parallel for free**: steps are written for the GLOBAL batch;
+  under a ``Mesh`` with batch inputs sharded ``P('data')`` and state
+  replicated, the XLA SPMD partitioner inserts gradient ``psum`` and
+  cross-replica BatchNorm reductions over ICI.  Single chip is the
+  mesh-size-1 special case of the same compiled program.
+- **Metrics on device**: loss scalars plus the bincount confusion
+  matrix (exactly the reference's `_fast_hist`, src/analysis/metrics.py:17)
+  are returned as device arrays; the trainer fetches them (one small
+  D2H per batch on the parity path, or at interval on the hot path).
+
+Reference call stacks mirrored: SegmentationTrainer.train_epoch
+(src/models/train.py:330-389), AdversarialTrainer.train_epoch
+(src/models/adversarial_trainer.py:41-128), UnsupervisedTrainer.train_epoch
+(src/models/unsupervised_trainer.py:52-187).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+    NONE,
+    STRONG,
+    WEAK,
+    AugmentConfig,
+    augment_batch,
+    normalize_images,
+)
+from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+    AdversarialLoss,
+    FineTuningLoss,
+    softmax_cross_entropy,
+)
+from uda_aerial_semantic_segmentation_research_tpu.ops.metrics import (
+    accuracy_from_hist,
+    confusion_matrix,
+    iou_from_hist,
+)
+
+
+def _apply_train(module, params, batch_stats, x, **kwargs):
+    """Forward in train mode, returning (out, new_batch_stats)."""
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+        out, mut = module.apply(variables, x, train=True,
+                                mutable=["batch_stats"], **kwargs)
+        return out, mut["batch_stats"]
+    return module.apply(variables, x, train=True, **kwargs), batch_stats
+
+
+def _apply_eval(module, params, batch_stats, x, **kwargs):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    return module.apply(variables, x, train=False, **kwargs)
+
+
+def _seg_metrics(logits, masks, num_classes: int):
+    preds = jnp.argmax(logits, axis=-1)
+    hist = confusion_matrix(preds, masks, num_classes)
+    per_class_iou, mean_iou = iou_from_hist(hist)
+    return {
+        "iou": mean_iou,
+        "accuracy": accuracy_from_hist(hist),
+        "per_class_iou": per_class_iou,
+        "hist": hist,
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase 1: supervised segmentation
+# ---------------------------------------------------------------------------
+def make_supervised_train_step(module, num_classes: int,
+                               aug_cfg: AugmentConfig = WEAK,
+                               class_weights=None):
+    """(state, key, uint8 images NHWC, int masks NHW) -> (state, metrics)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, images, masks):
+        x, m = augment_batch(key, images, masks, cfg=aug_cfg)
+
+        def loss_fn(params):
+            logits, new_stats = _apply_train(module, params, state.batch_stats, x)
+            loss = softmax_cross_entropy(logits, m, class_weights)
+            return loss, (logits, new_stats)
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, batch_stats=new_stats)
+        metrics = _seg_metrics(logits, m, num_classes)
+        metrics["loss"] = loss
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(module, num_classes: int, class_weights=None):
+    """(variables, uint8 images, masks) -> metrics (loss/iou/acc/hist)."""
+
+    @jax.jit
+    def step(params, batch_stats, images, masks):
+        x = normalize_images(images)
+        logits = _apply_eval(module, params, batch_stats, x)
+        loss = softmax_cross_entropy(logits, masks.astype(jnp.int32), class_weights)
+        metrics = _seg_metrics(logits, masks.astype(jnp.int32), num_classes)
+        metrics["loss"] = loss
+        return metrics
+
+    return step
+
+
+def make_predict_step(module):
+    """(params, batch_stats, uint8/float images) -> float32 logits NHWC."""
+
+    @jax.jit
+    def step(params, batch_stats, images):
+        x = normalize_images(images)
+        return _apply_eval(module, params, batch_stats, x)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# phase 2: adversarial domain adaptation (two-optimizer D/G alternation)
+# ---------------------------------------------------------------------------
+def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
+                                lambda_adv: float = 0.001,
+                                aug_cfg: AugmentConfig = WEAK):
+    """One fused D-then-G update (reference adversarial_trainer.py:41-128).
+
+    Step A trains the discriminator on D(src), D(tgt) with labels 1/0;
+    step B trains the generator with CE seg loss on source plus
+    ``lambda_adv``-scaled BCE pushing the UPDATED discriminator's D(tgt)
+    toward 1.  Both updates compile into one program -- no Python-side
+    alternation, no recompile churn.
+
+    Divergence, documented: the reference's G-step re-run of D(tgt)
+    also updates discriminator BatchNorm a second time (train mode);
+    here the re-run is eval-mode (stats already updated in step A).
+    """
+    adv = AdversarialLoss(lambda_adv)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, src_images, src_masks, tgt_images):
+        k1, k2 = jax.random.split(key)
+        xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
+        xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+
+        # --- step A: discriminator ------------------------------------
+        def d_loss_fn(d_params):
+            s_logit, stats = _apply_train(disc_module, d_params,
+                                          state.disc.batch_stats, xs,
+                                          return_logits=True)
+            t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
+                                          return_logits=True)
+            loss = adv.discriminator_loss(s_logit, t_logit)
+            return loss, (s_logit, t_logit, stats)
+
+        (d_loss, (s_logit, t_logit, d_stats)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.disc.params)
+        disc = state.disc.apply_gradients(d_grads, batch_stats=d_stats)
+
+        # --- step B: generator (segmentation model) -------------------
+        def g_loss_fn(params):
+            logits, new_stats = _apply_train(seg_module, params,
+                                             state.seg.batch_stats, xs)
+            seg_loss = softmax_cross_entropy(logits, ms)
+            t_logit2 = _apply_eval(disc_module, disc.params, disc.batch_stats,
+                                   xt, return_logits=True)
+            adv_loss = adv.generator_loss(t_logit2)
+            return seg_loss + adv_loss, (logits, new_stats, seg_loss, adv_loss)
+
+        (g_total, (logits, seg_stats, seg_loss, adv_loss)), g_grads = (
+            jax.value_and_grad(g_loss_fn, has_aux=True)(state.seg.params))
+        seg = state.seg.apply_gradients(g_grads, batch_stats=seg_stats)
+
+        metrics = _seg_metrics(logits, ms, num_classes)
+        metrics.update({
+            "loss": g_total, "seg_loss": seg_loss, "adv_loss": adv_loss,
+            "d_loss": d_loss,
+            "source_domain_prob": jax.nn.sigmoid(s_logit),
+            "target_domain_prob": jax.nn.sigmoid(t_logit),
+        })
+        from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+            AdversarialState,
+        )
+
+        return AdversarialState(seg=seg, disc=disc), metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# phase 3: unsupervised consistency fine-tuning
+# ---------------------------------------------------------------------------
+def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
+                                 fine_tuning_loss: FineTuningLoss,
+                                 aug_cfg: AugmentConfig = STRONG,
+                                 with_supervised: bool = False):
+    """One fine-tuning update (reference unsupervised_trainer.py:52-187).
+
+    Two independent strong views of the target batch come from two key
+    splits of the on-device augmentation; the consistency KL, domain-
+    confusion term (and optional supervised dice) backprop jointly
+    through segmentation AND discriminator params, matching the
+    reference's single Adam over ``DomainAdaptationModel.parameters()``
+    (reference :334, domain_model.py:79).  Non-finite losses skip the
+    update without leaving the compiled program (reference :135-137).
+
+    Divergence, documented: the reference passes raw supervised IMAGES
+    as ``supervised_pred`` (a bug -- unsupervised_trainer.py:130); here
+    the model is actually run on the supervised batch.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, tgt_images, epoch, sup_images=None, sup_masks=None):
+        k1, k2, k3 = jax.random.split(key, 3)
+        v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
+        v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+        x0 = normalize_images(tgt_images)
+
+        def loss_fn(params):
+            p1, seg_stats = _apply_train(seg_module, params["seg"],
+                                         state.batch_stats["seg"], v1)
+            p2, seg_stats = _apply_train(seg_module, params["seg"], seg_stats, v2)
+            domain_logits, disc_stats = _apply_train(
+                disc_module, params["disc"], state.batch_stats["disc"], x0,
+                return_logits=True)
+            sup_pred = sup_tgt = None
+            if with_supervised:
+                xs, ms = augment_batch(k3, sup_images, sup_masks, cfg=WEAK)
+                sup_pred, seg_stats = _apply_train(seg_module, params["seg"],
+                                                   seg_stats, xs)
+                sup_tgt = ms
+            losses = fine_tuning_loss(p1, p2, domain_logits, epoch,
+                                      supervised_pred=sup_pred,
+                                      supervised_target=sup_tgt)
+            new_stats = {"seg": seg_stats, "disc": disc_stats}
+            return losses["total"], (losses, new_stats, domain_logits)
+
+        (total, (losses, new_stats, domain_logits)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+
+        candidate = state.apply_gradients(grads, batch_stats=new_stats)
+        finite = jnp.isfinite(total)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), candidate, state)
+
+        metrics = dict(losses)
+        metrics["finite"] = finite
+        metrics["domain_prob"] = jax.nn.sigmoid(domain_logits)
+        return state, metrics
+
+    return step

@@ -1,0 +1,290 @@
+"""Self-contained multi-phase trainer over the GRL UDA model.
+
+Counterpart of reference src/models/trainer_phases.py:13-385 -- the
+alternative generation that trains ``UDASegmentationModel`` (feature-
+level discriminator behind a gradient-reversal layer) with a SINGLE
+optimizer per phase:
+
+- ``phase1_train`` (:49-102)   supervised segmentation, lr 1e-4, 50 epochs
+- ``phase2_train`` (:104-208)  joint ``seg + lambda * domain`` GRL loss,
+                               lr 5e-5, 30 epochs; model selection by
+                               ``iou * domain_acc`` (:196)
+- ``phase3_train`` (:210-277)  MSE consistency between two strong views
+                               + ``-mean|sigmoid(domain) - 0.5|``
+                               confusion term, lr 1e-5, 20 epochs
+
+This is the TPU-native fast path for adversarial UDA: one traversal,
+one backward pass, one optimizer -- no D/G alternation (SURVEY.md
+section 7).  Divergence, documented: the reference calls EarlyStopping
+with the wrong signature (``early_stopping(val_loss)`` at :100 vs the
+actual ``__call__(epoch, metrics, logger)``, a latent crash); we use a
+correct simple patience counter on the per-phase selection score.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uda_aerial_semantic_segmentation_research_tpu.config import Config
+from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+    STRONG,
+    WEAK,
+    augment_batch,
+    normalize_images,
+)
+from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+    sigmoid_bce_with_logits,
+    softmax_cross_entropy,
+)
+from uda_aerial_semantic_segmentation_research_tpu.training import steps as step_lib
+from uda_aerial_semantic_segmentation_research_tpu.training.adversarial_trainer import (
+    _cycle_raw,
+)
+from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+    TrainState,
+    adam,
+)
+from uda_aerial_semantic_segmentation_research_tpu.training.train import _raw_batches
+from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
+    save_checkpoint,
+)
+from uda_aerial_semantic_segmentation_research_tpu.visualization.tensorboard_logger import (
+    TensorboardLogger,
+)
+
+
+class MultiPhaseTrainer:
+    """Three-phase UDA training over a GRL model bundle."""
+
+    def __init__(self, model, device=None, checkpoint_dir: str = "checkpoints",
+                 num_classes: Optional[int] = None, lambda_domain: float = 0.1,
+                 log_dir: Optional[str] = None):
+        """``model``: ModelBundle of a UDASegmentationModel."""
+        self.model = model
+        self.device = device or Config.get_device()
+        self.num_classes = num_classes or Config.NUM_CLASSES
+        self.lambda_domain = float(lambda_domain)
+        self.checkpoint_dir = Path(checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = TensorboardLogger(log_dir=log_dir or Config.LOGS_DIR)
+        self._rng = jax.random.key(Config.SEED)
+        self._steps: dict = {}
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _state(self, lr: float) -> TrainState:
+        return TrainState.from_bundle(self.model, adam(lr))
+
+    # ------------------------------------------------------------------
+    # jitted step builders (cached per phase)
+    # ------------------------------------------------------------------
+    def _phase1_step(self):
+        if "p1" not in self._steps:
+            self._steps["p1"] = step_lib.make_supervised_train_step(
+                self.model.module, self.num_classes)
+        return self._steps["p1"]
+
+    def _phase2_step(self):
+        if "p2" in self._steps:
+            return self._steps["p2"]
+        module = self.model.module
+        lam = self.lambda_domain
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, key, src_images, src_masks, tgt_images, alpha):
+            k1, k2 = jax.random.split(key)
+            xs, ms = augment_batch(k1, src_images, src_masks, cfg=WEAK)
+            xt, _ = augment_batch(k2, tgt_images, None, cfg=WEAK)
+
+            def loss_fn(params):
+                (seg, d_src), stats = step_lib._apply_train(
+                    module, params, state.batch_stats, xs,
+                    domain_adaptation=True, alpha=alpha)
+                variables = {"params": params, "batch_stats": stats}
+                (_, d_tgt), mut = module.apply(
+                    variables, xt, train=True, domain_adaptation=True,
+                    alpha=alpha, mutable=["batch_stats"])
+                seg_loss = softmax_cross_entropy(seg, ms)
+                # GRL: the discriminator head is trained to classify
+                # src=1 / tgt=0; the reversed gradient confuses the encoder
+                domain_loss = (
+                    sigmoid_bce_with_logits(d_src, jnp.ones_like(d_src))
+                    + sigmoid_bce_with_logits(d_tgt, jnp.zeros_like(d_tgt))) / 2.0
+                total = seg_loss + lam * domain_loss
+                return total, (seg, d_src, d_tgt, mut["batch_stats"],
+                               seg_loss, domain_loss)
+
+            (total, (seg, d_src, d_tgt, stats, seg_loss, domain_loss)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+            state = state.apply_gradients(grads, batch_stats=stats)
+            m = step_lib._seg_metrics(seg, ms, self.num_classes)
+            domain_acc = 0.5 * (jnp.mean((d_src >= 0).astype(jnp.float32))
+                                + jnp.mean((d_tgt < 0).astype(jnp.float32)))
+            m.update({"loss": total, "seg_loss": seg_loss,
+                      "domain_loss": domain_loss, "domain_acc": domain_acc})
+            return state, m
+
+        self._steps["p2"] = step
+        return step
+
+    def _phase3_step(self):
+        if "p3" in self._steps:
+            return self._steps["p3"]
+        module = self.model.module
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, key, tgt_images):
+            k1, k2 = jax.random.split(key)
+            v1, _ = augment_batch(k1, tgt_images, None, cfg=STRONG)
+            v2, _ = augment_batch(k2, tgt_images, None, cfg=STRONG)
+            x0 = normalize_images(tgt_images)
+
+            def loss_fn(params):
+                p1, stats = step_lib._apply_train(module, params,
+                                                  state.batch_stats, v1)
+                p2, stats = step_lib._apply_train(module, params, stats, v2)
+                variables = {"params": params, "batch_stats": stats}
+                (_, d_logits), mut = module.apply(
+                    variables, x0, train=True, domain_adaptation=True,
+                    mutable=["batch_stats"])
+                consistency = jnp.mean(
+                    (p1.astype(jnp.float32) - p2.astype(jnp.float32)) ** 2)
+                # push sigmoid(domain) toward 0.5 (max confusion),
+                # reference trainer_phases.py:248
+                confusion = -jnp.mean(
+                    jnp.abs(jax.nn.sigmoid(d_logits) - 0.5))
+                total = consistency + confusion
+                return total, (consistency, confusion, mut["batch_stats"])
+
+            (total, (consistency, confusion, stats)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+            state = state.apply_gradients(grads, batch_stats=stats)
+            return state, {"loss": total, "consistency": consistency,
+                           "confusion": confusion}
+
+        self._steps["p3"] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def _save_best(self, phase: int, metrics: Dict[str, float]):
+        save_checkpoint({"model_state_dict": self.model.state_dict(),
+                         "metrics": metrics, "phase": phase},
+                        self.checkpoint_dir / f"phase{phase}_best.pth")
+
+    def _log_metrics(self, metrics: Dict[str, float], step: int, prefix: str):
+        for k, v in metrics.items():
+            if np.ndim(v) == 0:
+                self.logger.log_scalar(f"{prefix}/{k}", float(v), step)
+
+    # ------------------------------------------------------------------
+    # phase 1: supervised (reference :49-102)
+    # ------------------------------------------------------------------
+    def phase1_train(self, train_loader, val_loader, epochs: int = 50,
+                     learning_rate: float = 1e-4, patience: int = 7):
+        step = self._phase1_step()
+        eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
+        state = self._state(learning_rate)
+        best_iou, counter = -1.0, 0
+
+        for epoch in range(1, epochs + 1):
+            for images, masks in _raw_batches(train_loader):
+                state, m = step(state, self._next_key(), images, masks)
+            val = self._validate_phase1(val_loader, state, eval_step)
+            self._log_metrics(val, epoch, "phase1/val")
+            if val["iou"] > best_iou:
+                best_iou, counter = val["iou"], 0
+                state.write_back(self.model)
+                self._save_best(1, val)
+            else:
+                counter += 1
+                if counter >= patience:
+                    break
+        state.write_back(self.model)
+        return best_iou
+
+    def _validate_phase1(self, val_loader, state, eval_step) -> Dict[str, float]:
+        ious, accs, losses = [], [], []
+        for images, masks in _raw_batches(val_loader):
+            m = eval_step(state.params, state.batch_stats, images, masks)
+            ious.append(float(m["iou"]))
+            accs.append(float(m["accuracy"]))
+            losses.append(float(m["loss"]))
+        return {"iou": float(np.mean(ious)) if ious else 0.0,
+                "accuracy": float(np.mean(accs)) if accs else 0.0,
+                "loss": float(np.mean(losses)) if losses else 0.0}
+
+    # ------------------------------------------------------------------
+    # phase 2: GRL adversarial (reference :104-208)
+    # ------------------------------------------------------------------
+    def phase2_train(self, source_loader, target_loader, val_loader,
+                     epochs: int = 30, learning_rate: float = 5e-5,
+                     patience: int = 7, alpha: float = 1.0):
+        step = self._phase2_step()
+        eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
+        state = self._state(learning_rate)
+        best_score, counter = -1.0, 0
+        target_iter = _cycle_raw(target_loader)
+
+        for epoch in range(1, epochs + 1):
+            domain_accs = []
+            for src_images, src_masks in _raw_batches(source_loader):
+                tgt_images, _ = next(target_iter)
+                b = src_images.shape[0]
+                if tgt_images.shape[0] != b:
+                    reps = -(-b // tgt_images.shape[0])
+                    tgt_images = np.concatenate([tgt_images] * reps)[:b]
+                state, m = step(state, self._next_key(), src_images, src_masks,
+                                tgt_images, jnp.float32(alpha))
+                domain_accs.append(float(m["domain_acc"]))
+
+            val = self._validate_phase2(val_loader, state, eval_step)
+            val["domain_acc"] = float(np.mean(domain_accs)) if domain_accs else 0.0
+            # combined model-selection score (reference :196)
+            score = val["iou"] * val["domain_acc"]
+            val["score"] = score
+            self._log_metrics(val, epoch, "phase2/val")
+            if score > best_score:
+                best_score, counter = score, 0
+                state.write_back(self.model)
+                self._save_best(2, val)
+            else:
+                counter += 1
+                if counter >= patience:
+                    break
+        state.write_back(self.model)
+        return best_score
+
+    def _validate_phase2(self, val_loader, state, eval_step) -> Dict[str, float]:
+        return self._validate_phase1(val_loader, state, eval_step)
+
+    # ------------------------------------------------------------------
+    # phase 3: consistency fine-tuning (reference :210-277)
+    # ------------------------------------------------------------------
+    def phase3_train(self, target_loader, val_loader=None, epochs: int = 20,
+                     learning_rate: float = 1e-5):
+        step = self._phase3_step()
+        state = self._state(learning_rate)
+        last_loss = 0.0
+        for epoch in range(1, epochs + 1):
+            losses = []
+            for tgt_images, _ in _raw_batches(target_loader):
+                state, m = step(state, self._next_key(), tgt_images)
+                losses.append(float(m["loss"]))
+            last_loss = float(np.mean(losses)) if losses else 0.0
+            self._log_metrics({"loss": last_loss}, epoch, "phase3/train")
+            self._validate_phase3(val_loader, state)
+        state.write_back(self.model)
+        self._save_best(3, {"loss": last_loss})
+        return last_loss
+
+    def _validate_phase3(self, val_loader, state):
+        """Reference stub preserved (trainer_phases.py:371-374 is a pass)."""
+        return None

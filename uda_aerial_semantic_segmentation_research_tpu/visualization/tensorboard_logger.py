@@ -1,0 +1,195 @@
+"""TensorBoard event logging without a torch dependency.
+
+Counterpart of the reference ``TensorboardLogger``
+(reference src/visualization/tensorboard_logger.py:11-86), which wraps
+``torch.utils.tensorboard.SummaryWriter``.  This implementation writes
+the TensorBoard wire format directly through the ``tensorboard``
+package's pure-python ``EventFileWriter`` -- the files parse back with
+``event_accumulator`` exactly like the reference's (the test harness
+asserts on that round trip, reference src/test_system.py:223-242).
+
+Surface parity: ``log_scalar`` / ``log_scalars`` / ``log_image`` (with
+the reference's dtype/shape coercions: batch -> first element,
+grayscale -> 3 channels, integer masks -> float) / ``log_figure`` /
+``log_histogram`` / ``log_model_graph`` / ``close``.  Timestamped
+subdirectory per logger instance, same as the reference (:21-23).
+
+Divergence, documented: ``log_model_graph`` logs the model's tabulated
+structure and its StableHLO as *text* summaries (JAX has no torch-style
+module graph; the compiled HLO is the honest TPU equivalent).
+"""
+
+from __future__ import annotations
+
+import datetime
+import io
+import time
+from pathlib import Path
+
+import numpy as np
+
+from tensorboard.compat.proto.event_pb2 import Event
+from tensorboard.compat.proto.summary_pb2 import (
+    HistogramProto,
+    Summary,
+    SummaryMetadata,
+)
+from tensorboard.compat.proto.tensor_pb2 import TensorProto
+from tensorboard.compat.proto.tensor_shape_pb2 import TensorShapeProto
+from tensorboard.summary.writer.event_file_writer import EventFileWriter
+
+
+def _encode_png(img_u8: np.ndarray) -> bytes:
+    """uint8 HWC (or HW) -> PNG bytes."""
+    import cv2
+
+    if img_u8.ndim == 3 and img_u8.shape[-1] == 3:
+        ok, buf = cv2.imencode(".png", cv2.cvtColor(img_u8, cv2.COLOR_RGB2BGR))
+    else:
+        ok, buf = cv2.imencode(".png", img_u8)
+    if not ok:
+        raise ValueError("PNG encoding failed")
+    return bytes(buf.tobytes())
+
+
+def _coerce_image(image) -> np.ndarray:
+    """Any array-ish image -> uint8 (H, W, 3).
+
+    Mirrors the reference coercions (tensorboard_logger.py:33-61):
+    batched -> first element; CHW -> HWC; grayscale -> 3 channels;
+    integer label maps -> scaled float; floats assumed in [0, 1] unless
+    their range says otherwise.
+    """
+    arr = np.asarray(image)
+    if arr.dtype.name == "bfloat16":
+        arr = arr.astype(np.float32)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if arr.ndim == 3 and arr.shape[0] in (1, 3) and arr.shape[-1] not in (1, 3):
+        arr = np.transpose(arr, (1, 2, 0))  # CHW -> HWC
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    if arr.shape[-1] == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+
+    if np.issubdtype(arr.dtype, np.integer):
+        # label maps: spread over the value range for visibility
+        arr = arr.astype(np.float32)
+        vmax = max(float(arr.max()), 1.0)
+        arr = arr / vmax
+    else:
+        arr = arr.astype(np.float32)
+        lo, hi = float(arr.min()), float(arr.max())
+        if hi > 1.0 + 1e-3 or lo < -1e-3:  # normalized/denormalized floats
+            arr = (arr - lo) / max(hi - lo, 1e-6)
+    return np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+
+
+class TensorboardLogger:
+    """Writes scalars/images/figures/histograms/text to a timestamped run dir."""
+
+    def __init__(self, log_dir: str = "logs"):
+        timestamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
+        self.log_dir = Path(log_dir) / timestamp
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = EventFileWriter(str(self.log_dir))
+
+    # ------------------------------------------------------------------
+    def _emit(self, summary: Summary, step: int):
+        self.writer.add_event(
+            Event(wall_time=time.time(), step=int(step), summary=summary))
+
+    def log_scalar(self, tag: str, value, step: int):
+        v = float(np.asarray(value))
+        self._emit(Summary(value=[Summary.Value(tag=tag, simple_value=v)]), step)
+
+    def log_scalars(self, main_tag: str, tag_scalar_dict: dict, step: int):
+        """Log a group of scalars as ``main_tag/<name>`` values.
+
+        (The reference's ``add_scalars`` spawns one run dir per key; a
+        single run with compound tags reads back identically through
+        event_accumulator and avoids run-dir explosion.)
+        """
+        for k, v in tag_scalar_dict.items():
+            self.log_scalar(f"{main_tag}/{k}", v, step)
+
+    def log_image(self, tag: str, image, step: int):
+        img = _coerce_image(image)
+        h, w = img.shape[:2]
+        self._emit(Summary(value=[Summary.Value(tag=tag, image=Summary.Image(
+            height=h, width=w, colorspace=3,
+            encoded_image_string=_encode_png(img)))]), step)
+
+    def log_figure(self, tag: str, figure, step: int):
+        import matplotlib.pyplot as plt
+
+        buf = io.BytesIO()
+        figure.savefig(buf, format="png")
+        buf.seek(0)
+        import cv2
+
+        data = np.frombuffer(buf.getvalue(), dtype=np.uint8)
+        img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        h, w = img.shape[:2]
+        self._emit(Summary(value=[Summary.Value(tag=tag, image=Summary.Image(
+            height=h, width=w, colorspace=3,
+            encoded_image_string=_encode_png(img)))]), step)
+        plt.close(figure)
+
+    def log_histogram(self, tag: str, values, step: int, bins="auto"):
+        v = np.asarray(values)
+        if v.dtype.name == "bfloat16":
+            v = v.astype(np.float32)
+        v = v.reshape(-1).astype(np.float64)
+        counts, edges = np.histogram(v, bins=bins)
+        hist = HistogramProto(
+            min=float(v.min()), max=float(v.max()), num=float(v.size),
+            sum=float(v.sum()), sum_squares=float((v * v).sum()),
+            bucket_limit=edges[1:].tolist(), bucket=counts.tolist())
+        self._emit(Summary(value=[Summary.Value(tag=tag, histo=hist)]), step)
+
+    def log_text(self, tag: str, text: str, step: int = 0):
+        meta = SummaryMetadata(
+            plugin_data=SummaryMetadata.PluginData(plugin_name="text"))
+        tensor = TensorProto(
+            dtype=7,  # DT_STRING
+            string_val=[text.encode("utf-8")],
+            tensor_shape=TensorShapeProto(dim=[TensorShapeProto.Dim(size=1)]))
+        self._emit(Summary(value=[Summary.Value(tag=f"{tag}/text_summary",
+                                                metadata=meta, tensor=tensor)]),
+                   step)
+
+    def log_model_graph(self, model, input_shape=(1, 256, 256, 3)):
+        """Log model structure + lowered StableHLO as text summaries.
+
+        Reference analogue: SummaryWriter.add_graph on a dummy forward
+        (tensorboard_logger.py:79-83).
+        """
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            module = getattr(model, "module", model)
+            variables = getattr(model, "variables", None)
+            dummy = jnp.zeros(input_shape, jnp.float32)
+            if variables is not None:
+                try:
+                    tab = module.tabulate(jax.random.key(0), dummy, depth=2)
+                    self.log_text("model/structure", f"```\n{tab}\n```")
+                except Exception:
+                    pass
+                lowered = jax.jit(
+                    lambda v, x: module.apply(v, x)).lower(variables, dummy)
+                hlo = lowered.as_text()
+                if len(hlo) > 100_000:
+                    hlo = hlo[:100_000] + "\n... (truncated)"
+                self.log_text("model/stablehlo", f"```\n{hlo}\n```")
+        except Exception as e:  # graph logging must never break training
+            self.log_text("model/graph_error", str(e))
+
+    def flush(self):
+        self.writer.flush()
+
+    def close(self):
+        self.writer.close()
