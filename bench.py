@@ -1,0 +1,113 @@
+"""Headline benchmark: supervised training throughput in 512px tiles/sec/chip.
+
+BASELINE.json north-star: >= 2,000 x 512px aerial tiles/sec/chip on TPU
+v5e for the flagship model (ResNet34-encoder U-Net, 23 classes, bf16).
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+is measured against that 2,000 tiles/s build target.
+
+Measures the REAL training step (on-device augmentation + forward +
+CE loss + backward + Adam update, same factory the trainers use) on
+synthetic device-resident data: pure step throughput, no host input
+bound (the input pipeline overlaps via prefetch in real training).
+
+Prints ONE JSON line:
+  {"metric": "train_tiles_per_sec_per_chip", "value": N,
+   "unit": "tiles/s", "vs_baseline": N/2000, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def run_bench(tile: int = 512, batch_candidates=(64, 32, 16, 8, 4),
+              steps: int = 20, warmup: int = 3, encoder: str = "resnet34",
+              classes: int = 23, smoke: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        steps as step_lib,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+        TrainState,
+        adam,
+    )
+
+    if smoke:
+        tile, batch_candidates, steps, warmup = 64, (4,), 5, 2
+        encoder, classes = "resnet18", 7
+
+    n_chips = jax.device_count()
+    bundle = create_unet(encoder_name=encoder, encoder_weights=None,
+                         classes=classes, image_size=tile)
+    step = step_lib.make_supervised_train_step(bundle.module, classes)
+
+    rng = np.random.default_rng(0)
+    result = None
+    for batch in batch_candidates:
+        try:
+            state = TrainState.from_bundle(bundle, adam(1e-4))
+            images = jnp.asarray(
+                rng.integers(0, 255, (batch, tile, tile, 3)).astype(np.uint8))
+            masks = jnp.asarray(
+                rng.integers(0, classes, (batch, tile, tile)).astype(np.int32))
+            key = jax.random.key(0)
+
+            for _ in range(warmup):
+                state, metrics = step(state, key, images, masks)
+            jax.block_until_ready(metrics["loss"])
+
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, metrics = step(state, key, images, masks)
+            jax.block_until_ready(metrics["loss"])
+            dt = time.perf_counter() - t0
+
+            tiles_per_sec = steps * batch / dt
+            result = {"batch": batch, "tiles_per_sec": tiles_per_sec,
+                      "step_ms": dt / steps * 1e3,
+                      "loss": float(metrics["loss"])}
+            break
+        except Exception as e:  # OOM at this batch size -> try smaller
+            msg = str(e)
+            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
+                print(f"# batch {batch} OOM, trying smaller", file=sys.stderr)
+                continue
+            raise
+    if result is None:
+        raise RuntimeError("all batch sizes OOMed")
+
+    per_chip = result["tiles_per_sec"] / max(n_chips, 1)
+    # scale smoke tiles to 512px-equivalents for a comparable number
+    scale = (tile / 512) ** 2
+    per_chip_512 = per_chip * scale
+    out = {
+        "metric": "train_tiles_per_sec_per_chip",
+        "value": round(per_chip_512, 2),
+        "unit": "512px tiles/s",
+        "vs_baseline": round(per_chip_512 / 2000.0, 4),
+        "tile": tile,
+        "batch": result["batch"],
+        "step_ms": round(result["step_ms"], 2),
+        "n_chips": n_chips,
+        "backend": jax.default_backend(),
+        "encoder": encoder,
+        "smoke": smoke,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true", help="tiny shapes, quick run")
+    p.add_argument("--tile", type=int, default=512)
+    p.add_argument("--steps", type=int, default=20)
+    a = p.parse_args()
+    run_bench(tile=a.tile, steps=a.steps, smoke=a.smoke)

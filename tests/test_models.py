@@ -1,0 +1,175 @@
+"""Model tests: U-Net, discriminators, GRL, domain wrapper, state_dict.
+
+Reference surfaces: smp.Unet instantiation (reference
+src/test_system.py:90-95), DomainDiscriminator
+(src/models/discriminator.py), gradient reversal + UDA model
+(src/models/uda.py), DomainAdaptationModel (src/models/domain_model.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import BATCH, CLASSES, SIZE
+
+RNG = np.random.default_rng(0)
+
+
+def test_unet_forward_shape(seg_bundle, batch):
+    images, _ = batch
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    logits = seg_bundle(normalize_images(jnp.asarray(images)))
+    assert logits.shape == (BATCH, SIZE, SIZE, CLASSES)
+    assert logits.dtype == jnp.float32
+
+
+def test_unet_encoder_pyramid(seg_bundle, batch):
+    images, _ = batch
+    feats = seg_bundle.module.apply(
+        seg_bundle.variables, jnp.asarray(images, jnp.float32), train=False,
+        method=seg_bundle.module.encode)
+    # smp-style 6-level pyramid: identity, /2, /4, /8, /16, /32
+    assert len(feats) == 6
+    assert feats[0].shape[1] == SIZE
+    for i, f in enumerate(feats[1:], 1):
+        assert f.shape[1] == SIZE // (2 ** i)
+    # resnet18 channel signature
+    assert [f.shape[-1] for f in feats] == [3, 64, 64, 128, 256, 512]
+
+
+def test_discriminator_output(disc_bundle, batch):
+    images, _ = batch
+    probs = disc_bundle(jnp.asarray(images, jnp.float32))
+    assert probs.shape == (BATCH, 1)
+    p = np.asarray(probs)
+    assert np.all((p >= 0) & (p <= 1)), "default output must be probabilities"
+    logits = disc_bundle(jnp.asarray(images, jnp.float32), return_logits=True)
+    np.testing.assert_allclose(np.asarray(jax.nn.sigmoid(logits)), p, atol=1e-5)
+
+
+def test_gradient_reversal_vjp():
+    """GRL: identity forward, -alpha-scaled cotangent backward
+    (reference src/models/uda.py:99-112)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models.uda import (
+        gradient_reverse_layer,
+    )
+
+    x = jnp.asarray(RNG.normal(size=(4, 3)).astype(np.float32))
+    y = gradient_reverse_layer(x, 2.0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+
+    g = jax.grad(lambda v: jnp.sum(gradient_reverse_layer(v, 2.0) ** 2))(x)
+    expected = -2.0 * (2.0 * np.asarray(x))  # -alpha * d(sum x^2)/dx
+    np.testing.assert_allclose(np.asarray(g), expected, atol=1e-5)
+
+
+def test_state_dict_roundtrip(seg_bundle):
+    sd = seg_bundle.state_dict()
+    assert all(isinstance(v, np.ndarray) for v in sd.values())
+    assert any("stem_conv" in k for k in sd)
+
+    perturbed = {k: v + 1.0 if v.dtype.kind == "f" else v for k, v in sd.items()}
+    seg_bundle.load_state_dict(perturbed)
+    sd2 = seg_bundle.state_dict()
+    key = next(k for k in sd if sd[k].dtype.kind == "f")
+    np.testing.assert_allclose(sd2[key], sd[key] + 1.0)
+    seg_bundle.load_state_dict(sd)  # restore for other tests
+
+    with pytest.raises(ValueError):
+        seg_bundle.load_state_dict({"bogus": np.zeros(1)}, strict=True)
+
+
+def test_domain_adaptation_model(seg_bundle, disc_bundle, batch):
+    from uda_aerial_semantic_segmentation_research_tpu.models.domain_model import (
+        DomainAdaptationModel,
+    )
+
+    images, _ = batch
+    dm = DomainAdaptationModel(seg_bundle, disc_bundle)
+    x = jnp.asarray(images, jnp.float32)
+    seg_only = dm(x)
+    assert seg_only.shape == (BATCH, SIZE, SIZE, CLASSES)
+    seg, domain = dm(x, domain_adaptation=True)
+    assert seg.shape == (BATCH, SIZE, SIZE, CLASSES)
+    assert domain.shape == (BATCH, 1)
+
+    feats = dm.get_features(x)
+    assert feats.shape[-1] == 512  # resnet18 bottleneck
+
+    sd = dm.state_dict()
+    assert any(k.startswith("segmentation_model/") for k in sd)
+    assert any(k.startswith("discriminator/") for k in sd)
+    dm.load_state_dict(sd)
+
+
+def test_uda_model_grl_forward():
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    x = jnp.asarray(RNG.normal(size=(2, SIZE, SIZE, 3)).astype(np.float32))
+    seg = bundle(x)
+    assert seg.shape == (2, SIZE, SIZE, CLASSES)
+    seg, dom = bundle(x, domain_adaptation=True, alpha=0.5)
+    assert dom.shape == (2, 1)
+
+
+def test_unknown_encoder_raises():
+    from uda_aerial_semantic_segmentation_research_tpu.models.resnet import (
+        build_encoder,
+    )
+
+    with pytest.raises(ValueError):
+        build_encoder("vgg16")
+
+
+def test_pretrained_converter_maps_keys(seg_bundle):
+    """convert_torch_resnet must produce keys matching our encoder tree."""
+    torch = pytest.importorskip("torch")
+    from uda_aerial_semantic_segmentation_research_tpu.models.pretrained import (
+        convert_torch_resnet,
+    )
+
+    # build a fake torchvision-style resnet18 state dict with right shapes
+    sd = {"conv1.weight": torch.zeros(64, 3, 7, 7),
+          "bn1.weight": torch.zeros(64), "bn1.bias": torch.zeros(64),
+          "bn1.running_mean": torch.zeros(64), "bn1.running_var": torch.ones(64)}
+    chans = [64, 128, 256, 512]
+    for s, c in enumerate(chans):
+        in_c = 64 if s == 0 else chans[s - 1]
+        for b in range(2):
+            p = f"layer{s + 1}.{b}"
+            sd[f"{p}.conv1.weight"] = torch.zeros(c, in_c if b == 0 else c, 3, 3)
+            sd[f"{p}.conv2.weight"] = torch.zeros(c, c, 3, 3)
+            for i in (1, 2):
+                sd[f"{p}.bn{i}.weight"] = torch.zeros(c)
+                sd[f"{p}.bn{i}.bias"] = torch.zeros(c)
+                sd[f"{p}.bn{i}.running_mean"] = torch.zeros(c)
+                sd[f"{p}.bn{i}.running_var"] = torch.ones(c)
+            if b == 0 and s > 0:
+                sd[f"{p}.downsample.0.weight"] = torch.zeros(c, in_c, 1, 1)
+                sd[f"{p}.downsample.1.weight"] = torch.zeros(c)
+                sd[f"{p}.downsample.1.bias"] = torch.zeros(c)
+                sd[f"{p}.downsample.1.running_mean"] = torch.zeros(c)
+                sd[f"{p}.downsample.1.running_var"] = torch.ones(c)
+
+    flat = convert_torch_resnet(sd, "resnet18")
+    assert "stem_conv/kernel" in flat
+    assert flat["stem_conv/kernel"].shape == (7, 7, 3, 64)  # OIHW -> HWIO
+
+    # every converted param key must exist in the bundle's encoder subtree
+    own = seg_bundle.state_dict()
+    enc_prefix = next(k.split("stem_conv")[0] for k in own
+                      if "/stem_conv/" in k and k.startswith("params/"))
+    bs_prefix = enc_prefix.replace("params/", "batch_stats/", 1)
+    for k in flat:
+        kk = (bs_prefix + k[len("batch_stats::"):]
+              if k.startswith("batch_stats::") else enc_prefix + k)
+        assert kk in own, f"converted key {kk} not in model"

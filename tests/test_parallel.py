@@ -1,0 +1,134 @@
+"""Multi-chip data-parallelism tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed mode at all (SURVEY.md section 2.2);
+these tests validate the TPU-native replacement: batch sharded
+``P('data')``, state replicated, gradient psum inserted by the XLA SPMD
+partitioner, and N-way/1-way numerical equivalence.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tests.conftest import CLASSES, SIZE
+from uda_aerial_semantic_segmentation_research_tpu.ops.augment import NONE
+from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    global_batch_size,
+    replicate,
+    shard_batch,
+)
+from uda_aerial_semantic_segmentation_research_tpu.training import steps as step_lib
+from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+    TrainState,
+    adam,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= N_DEV, "conftest must force an 8-device CPU mesh"
+    return create_mesh(jax.devices()[:N_DEV])
+
+
+def test_mesh_and_shardings(mesh):
+    assert mesh.devices.size == N_DEV
+    assert mesh.axis_names == ("data",)
+    assert global_batch_size(2, mesh) == 16
+
+    batch = np.zeros((16, SIZE, SIZE, 3), np.uint8)
+    sharded = shard_batch(batch, mesh)
+    assert sharded.sharding == batch_sharding(mesh)
+    # each device holds 16/8 = 2 samples
+    assert sharded.addressable_shards[0].data.shape[0] == 2
+
+    with pytest.raises(ValueError):
+        shard_batch(np.zeros((3, 4), np.float32), mesh)  # 3 % 8 != 0
+
+
+def test_replicated_state(mesh):
+    tree = {"w": jnp.ones((4, 4))}
+    rep = replicate(tree, mesh)
+    assert rep["w"].sharding.is_fully_replicated
+
+
+def test_data_parallel_step_runs(seg_bundle, mesh):
+    """The SAME step function runs over the 8-device mesh: batch sharded,
+    params replicated, loss finite, params stay replicated after update."""
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, CLASSES, (N_DEV, SIZE, SIZE)).astype(np.int32)
+
+    step = step_lib.make_supervised_train_step(seg_bundle.module, CLASSES,
+                                               aug_cfg=NONE)
+    state = TrainState.from_bundle(seg_bundle, adam(1e-3))
+    state = replicate(state, mesh)
+    key = jax.device_put(jax.random.key(0), NamedSharding(mesh, P()))
+
+    state, metrics = step(state, key, shard_batch(images, mesh),
+                          shard_batch(masks, mesh))
+    assert np.isfinite(float(metrics["loss"]))
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+
+
+def test_data_parallel_matches_single_device(seg_bundle):
+    """8-way sharded step == single-device step on the same global batch:
+    the partitioner's gradient psum must equal the global-batch gradient.
+    SGD updates = -lr * grad, so params compare gradients directly (Adam
+    would amplify reduction-order float noise on near-zero grads into
+    +-lr sign flips)."""
+    import optax
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, CLASSES, (N_DEV, SIZE, SIZE)).astype(np.int32)
+    step = step_lib.make_supervised_train_step(seg_bundle.module, CLASSES,
+                                               aug_cfg=NONE)
+    key = jax.random.key(3)
+
+    # single device
+    s1 = TrainState.from_bundle(seg_bundle, optax.sgd(0.1))
+    s1, m1 = step(s1, key, images, masks)
+
+    # 8-device mesh
+    mesh = create_mesh(jax.devices()[:N_DEV])
+    s8 = replicate(TrainState.from_bundle(seg_bundle, optax.sgd(0.1)), mesh)
+    k8 = jax.device_put(key, NamedSharding(mesh, P()))
+    s8, m8 = step(s8, k8, shard_batch(images, mesh), shard_batch(masks, mesh))
+
+    assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    for p1, p8 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must pass on the virtual mesh."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(N_DEV)
+
+
+def test_graft_entry_forward_compiles():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as graft
+    from uda_aerial_semantic_segmentation_research_tpu.config import Config
+
+    # conftest shrinks Config so this stays CPU-friendly
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[2].shape[0]

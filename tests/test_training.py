@@ -1,0 +1,159 @@
+"""Training-step and trainer-machinery tests.
+
+Covers the jitted step factories (training/steps.py), EarlyStopping's
+exact reference semantics (reference src/models/train.py:79-195), and
+loss descent on a fixed batch.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import BATCH, CLASSES, SIZE
+from uda_aerial_semantic_segmentation_research_tpu.ops.augment import NONE
+from uda_aerial_semantic_segmentation_research_tpu.training import steps as step_lib
+from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+    AdversarialState,
+    TrainState,
+    adam,
+)
+from uda_aerial_semantic_segmentation_research_tpu.training.train import EarlyStopping
+
+
+# ---------------------------------------------------------------------------
+# EarlyStopping (pure host logic)
+# ---------------------------------------------------------------------------
+def test_early_stopping_max_mode_patience():
+    es = EarlyStopping(patience=2, mode="max", min_epochs=0,
+                       metrics_to_track=["iou"], weights={"iou": 1.0})
+    assert not es(1, {"iou": 0.5})
+    assert not es(2, {"iou": 0.6})   # improved
+    assert not es(3, {"iou": 0.55})  # counter 1
+    assert es(4, {"iou": 0.55})      # counter 2 -> stop
+    assert es.early_stop
+    assert es.get_best_metrics() == {"iou": 0.6}
+
+
+def test_early_stopping_min_epochs_guard():
+    es = EarlyStopping(patience=1, mode="max", min_epochs=10,
+                       weights={"iou": 1.0})
+    for e in range(1, 10):
+        assert not es(e, {"iou": 0.5 - 0.01 * e}), "must not stop before min_epochs"
+
+
+def test_early_stopping_weighted_score():
+    es = EarlyStopping(mode="max", min_epochs=0,
+                       metrics_to_track=["loss", "iou", "accuracy"],
+                       weights={"loss": -1.0, "iou": 1.0, "accuracy": 0.5})
+    score = es._calculate_score({"loss": 0.4, "iou": 0.6, "accuracy": 0.8})
+    assert abs(score - (-0.4 + 0.6 + 0.4)) < 1e-9
+
+
+def test_early_stopping_improvement_rate():
+    es = EarlyStopping(min_epochs=0, metrics_to_track=["loss"],
+                       weights={"loss": 1.0}, mode="min")
+    es(1, {"loss": 1.0})
+    es(2, {"loss": 0.5})
+    rates = es.get_improvement_rate()
+    assert abs(rates["loss"] - (-0.25)) < 1e-9
+
+
+def test_early_stopping_logs_contract():
+    """Must log early_stopping/score + counter every call (the harness
+    asserts these tags exist, reference src/test_system.py:237-242)."""
+    calls = []
+
+    class FakeLogger:
+        def log_scalar(self, tag, value, step):
+            calls.append(tag)
+
+    es = EarlyStopping(min_epochs=100, weights={"loss": 1.0})
+    es(1, {"loss": 0.5}, FakeLogger())
+    assert "early_stopping/score" in calls
+    assert "early_stopping/counter" in calls
+
+
+# ---------------------------------------------------------------------------
+# jitted steps (shared compiled fns; NONE aug for compile speed)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def sup_step(seg_bundle):
+    return step_lib.make_supervised_train_step(seg_bundle.module, CLASSES,
+                                               aug_cfg=NONE)
+
+
+def test_supervised_step_decreases_loss(seg_bundle, batch, sup_step):
+    images, masks = batch
+    state = TrainState.from_bundle(seg_bundle, adam(1e-3))
+    key = jax.random.key(0)
+    state, m0 = sup_step(state, key, images, masks)
+    first = float(m0["loss"])
+    for _ in range(12):
+        state, m = sup_step(state, key, images, masks)
+    last = float(m["loss"])
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+    assert int(state.step) == 13
+    assert 0.0 <= float(m["iou"]) <= 1.0
+    assert m["hist"].shape == (CLASSES, CLASSES)
+
+
+def test_eval_step_metrics(seg_bundle, batch):
+    images, masks = batch
+    eval_step = step_lib.make_eval_step(seg_bundle.module, CLASSES)
+    m = eval_step(seg_bundle.params, seg_bundle.batch_stats, images, masks)
+    assert np.isfinite(float(m["loss"]))
+    assert 0.0 <= float(m["accuracy"]) <= 1.0
+    assert int(np.asarray(m["hist"]).sum()) == BATCH * SIZE * SIZE
+
+
+def test_adversarial_step(seg_bundle, disc_bundle, batch):
+    images, masks = batch
+    step = step_lib.make_adversarial_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, lambda_adv=0.001,
+        aug_cfg=NONE)
+    state = AdversarialState(
+        seg=TrainState.from_bundle(seg_bundle, adam(1e-3)),
+        disc=TrainState.from_bundle(disc_bundle, adam(1e-3)))
+    state, m = step(state, jax.random.key(0), images, masks, images)
+    for k in ("loss", "seg_loss", "adv_loss", "d_loss"):
+        assert np.isfinite(float(m[k])), k
+    assert m["source_domain_prob"].shape == (BATCH, 1)
+    p = np.asarray(m["source_domain_prob"])
+    assert np.all((p >= 0) & (p <= 1))
+    assert int(state.seg.step) == 1 and int(state.disc.step) == 1
+
+
+def test_unsupervised_step_and_rampup(seg_bundle, disc_bundle, batch):
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        FineTuningLoss,
+    )
+
+    images, _ = batch
+    ft = FineTuningLoss(rampup_length=40)
+    step = step_lib.make_unsupervised_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, ft, aug_cfg=NONE)
+    tx = adam(1e-3, clip_norm=1.0)
+    params = jax.tree.map(jnp.array, {"seg": seg_bundle.params,
+                                      "disc": disc_bundle.params})
+    stats = jax.tree.map(jnp.array, {"seg": seg_bundle.batch_stats,
+                                     "disc": disc_bundle.batch_stats})
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=stats, opt_state=tx.init(params), tx=tx)
+
+    state, m = step(state, jax.random.key(0), images, jnp.float32(0))
+    assert float(m["rampup_weight"]) == 0.0
+    # epoch is a traced arg: changing it must NOT trigger a retrace crash
+    state, m = step(state, jax.random.key(1), images, jnp.float32(20))
+    assert abs(float(m["rampup_weight"]) - 0.5) < 1e-6
+    assert np.isfinite(float(m["total"]))
+    assert bool(m["finite"])
+
+
+def test_predict_step(seg_bundle, batch):
+    images, _ = batch
+    pred = step_lib.make_predict_step(seg_bundle.module)
+    logits = pred(seg_bundle.params, seg_bundle.batch_stats, images)
+    assert logits.shape == (BATCH, SIZE, SIZE, CLASSES)

@@ -5,29 +5,37 @@ TPU-native replacement for the reference's albumentations pipelines
 image at a time on the CPU -- its phase-3 trainer even round-trips every
 device batch back to numpy to produce two strong views
 (reference src/models/unsupervised_trainer.py:100-114).  Here the whole
-pipeline is a pure jittable function of (rng key, uint8 batch): it fuses
-into the train step, runs on the VPU, and two "strong views" are just two
-key splits of the same batched call.
+pipeline is a pure jittable function of (rng key, uint8 batch) designed
+around how XLA compiles and how the VPU executes:
+
+- **All randomness is drawn batched up front** (a handful of
+  (B,)-shaped threefry calls) -- no per-image key splitting, no vmap of
+  scalar RNG (which triggers multi-minute XLA compiles).
+- **All geometric ops fuse into ONE warp**: rot90/flip/transpose are
+  exact elements of the dihedral group D4, composed with
+  shift-scale-rotate into a single per-image 2x2 matrix; the batch is
+  sampled with ONE flat bilinear gather (image) + ONE nearest gather
+  (mask).  No lax.switch, no branches, one pass over HBM.
+- **Photometric ops are branch-free batched elementwise** with
+  per-image `where` gates -- pure VPU work that XLA fuses.
 
 Coverage vs the reference pipelines (weak=get_training_augmentation,
 strong=get_strong_augmentation):
 
-  rot90 / flip / transpose            exact
+  rot90 / flip / transpose            exact (integer dihedral matrices)
+  shift-scale-rotate                  exact (bilinear image / nearest
+                                      mask, reflect-101 border like
+                                      albumentations)
   gaussian noise                      exact (variance ranges mirrored)
-  blur (motion/median/box family)     box-blur approximation, size mirrored
-  shift-scale-rotate                  exact (bilinear image / nearest mask,
-                                      reflect-101 border like albumentations)
+  blur (motion/median/box family)     separable box-blur approximation
   brightness-contrast / sharpen       exact
   hue-saturation-value                exact (jnp RGB<->HSV)
   CLAHE / emboss / optical-grid-      not implemented on device: data-
     elastic distortions               dependent or negligible-value ops;
-                                      the OneOf groups containing them fall
-                                      back to their tractable members.
-  Normalize (ImageNet) + ToTensor     fused into the same kernel; output is
-                                      float32 NHWC (cast to bf16 at model).
-
-Every op draws per-image randomness (vmap over a per-image key), matching
-albumentations' per-item semantics.
+                                      the OneOf groups containing them
+                                      fall back to tractable members.
+  Normalize (ImageNet) + ToTensor     fused into the same program;
+                                      output float32 NHWC.
 """
 
 from __future__ import annotations
@@ -75,6 +83,11 @@ class AugmentConfig:
     sat_shift: float = 30.0 / 255.0
     val_shift: float = 20.0 / 255.0
 
+    @property
+    def has_geometric(self) -> bool:
+        return (self.p_rot90 > 0 or self.p_flip > 0 or self.p_transpose > 0
+                or self.p_ssr > 0)
+
 
 # Reference weak pipeline: src/models/augmentation.py:8-38
 WEAK = AugmentConfig()
@@ -98,10 +111,15 @@ NONE = AugmentConfig(
 
 
 # ---------------------------------------------------------------------------
-# primitives (single image, HWC float32 in [0, 1])
+# geometric: fused dihedral + shift-scale-rotate warp
 # ---------------------------------------------------------------------------
-def _bern(key, p: float):
-    return jax.random.uniform(key) < p
+# Forward 2x2 matrices of the dihedral pieces on centered (x, y) coords.
+_ROT90 = jnp.asarray([[[1, 0], [0, 1]], [[0, -1], [1, 0]],
+                      [[-1, 0], [0, -1]], [[0, 1], [-1, 0]]], jnp.float32)
+# flip codes: 0 = none, 1 = horizontal (x), 2 = vertical (y), 3 = both
+_FLIP = jnp.asarray([[[1, 0], [0, 1]], [[-1, 0], [0, 1]],
+                     [[1, 0], [0, -1]], [[-1, 0], [0, -1]]], jnp.float32)
+_TRANSPOSE = jnp.asarray([[[1, 0], [0, 1]], [[0, 1], [1, 0]]], jnp.float32)
 
 
 def _reflect_index(idx, n):
@@ -112,124 +130,113 @@ def _reflect_index(idx, n):
     return jnp.where(r < n, r, period - r)
 
 
-def _affine_warp(img, mask, shift, scale, angle_rad):
-    """Inverse-map affine warp about the image center.
+def _sample_geometric(key, n: int, cfg: AugmentConfig):
+    """Batched forward affines: (n, 2, 2) matrices + (n, 2) relative shifts.
 
-    Image sampled bilinearly, mask nearest; reflect-101 borders.
-    ``img``: (H, W, C) float32; ``mask``: (H, W) int32 or None.
+    Mirrors the albumentations sequence RandomRotate90(p) -> Flip(p) ->
+    Transpose(p) -> ShiftScaleRotate(p) (reference
+    src/models/augmentation.py:8-38) as matrix composition; un-applied
+    ops contribute the identity, keeping everything branch-free.
     """
-    h, w = img.shape[0], img.shape[1]
+    k = jax.random.split(key, 8)
+    u = lambda kk: jax.random.uniform(kk, (n,))
+
+    kk_rot = jnp.where(u(k[0]) < cfg.p_rot90,
+                       jax.random.randint(k[1], (n,), 0, 4), 0)
+    fcode = jnp.where(u(k[2]) < cfg.p_flip,
+                      jax.random.randint(k[3], (n,), 0, 3) + 1, 0)
+    tcode = (u(k[4]) < cfg.p_transpose).astype(jnp.int32)
+    dihedral = jnp.einsum("nij,njk,nkl->nil",
+                          _TRANSPOSE[tcode], _FLIP[fcode], _ROT90[kk_rot])
+
+    do = (u(k[5]) < cfg.p_ssr) if cfg.p_ssr > 0 else jnp.zeros(n, bool)
+    sk = jax.random.split(k[6], 3)
+    shift = jnp.where(do[:, None], jax.random.uniform(
+        sk[0], (n, 2), minval=-cfg.shift_limit, maxval=cfg.shift_limit), 0.0)
+    scale = jnp.where(do, 1.0 + jax.random.uniform(
+        sk[1], (n,), minval=-cfg.scale_limit, maxval=cfg.scale_limit), 1.0)
+    ang = jnp.where(do, jnp.deg2rad(jax.random.uniform(
+        sk[2], (n,), minval=-cfg.rotate_limit, maxval=cfg.rotate_limit)), 0.0)
+
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    rot = jnp.stack([jnp.stack([cos, -sin], -1),
+                     jnp.stack([sin, cos], -1)], -2) * scale[:, None, None]
+    return jnp.einsum("nij,njk->nik", rot, dihedral), shift
+
+
+def _inv2x2(m):
+    """Batched 2x2 inverse: m is (n, 2, 2)."""
+    det = m[:, 0, 0] * m[:, 1, 1] - m[:, 0, 1] * m[:, 1, 0]
+    adj = jnp.stack([jnp.stack([m[:, 1, 1], -m[:, 0, 1]], -1),
+                     jnp.stack([-m[:, 1, 0], m[:, 0, 0]], -1)], -2)
+    return adj / det[:, None, None]
+
+
+def _warp_batch(images, masks, fwd, shift):
+    """Apply per-image affines to the whole batch with ONE flat gather each.
+
+    Inverse-map sampling: ``src = A^-1 @ (out - c - shift_px) + c`` with
+    reflect-101 borders.  Image bilinear, mask nearest.  Pure dihedral
+    elements land on exact integer coordinates, reproducing
+    rot90/flip/transpose exactly.
+
+    ``images``: (n, h, w, c) float32; ``masks``: (n, h, w) int or None.
+    """
+    n, h, w = images.shape[0], images.shape[1], images.shape[2]
+    inv = _inv2x2(fwd)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
-    # forward transform: rotate+scale about center, then shift.
-    # inverse map: out pixel -> src = R^-1 S^-1 ((out - shift) - c) + c
-    inv_scale = 1.0 / scale
+
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ox = xx - cx - shift[0] * w
-    oy = yy - cy - shift[1] * h
-    sx = (cos * ox + sin * oy) * inv_scale + cx
-    sy = (-sin * ox + cos * oy) * inv_scale + cy
+    ox = xx[None] - cx - shift[:, 0, None, None] * w    # (n, h, w)
+    oy = yy[None] - cy - shift[:, 1, None, None] * h
+    sx = inv[:, 0, 0, None, None] * ox + inv[:, 0, 1, None, None] * oy + cx
+    sy = inv[:, 1, 0, None, None] * ox + inv[:, 1, 1, None, None] * oy + cy
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    fx = sx - x0
-    fy = sy - y0
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
     x0i = _reflect_index(x0.astype(jnp.int32), w)
     x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
     y0i = _reflect_index(y0.astype(jnp.int32), h)
     y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
 
-    ia = img[y0i, x0i]
-    ib = img[y0i, x1i]
-    ic = img[y1i, x0i]
-    idd = img[y1i, x1i]
-    fx1 = fx[..., None]
-    fy1 = fy[..., None]
-    out = (ia * (1 - fx1) * (1 - fy1) + ib * fx1 * (1 - fy1)
-           + ic * (1 - fx1) * fy1 + idd * fx1 * fy1)
+    # flatten batch+space: one gather per bilinear corner
+    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
+    flat = images.reshape(n * h * w, -1)
+
+    def g(yi, xi):
+        idx = (base + yi * w + xi).reshape(-1)
+        return jnp.take(flat, idx, axis=0).reshape(n, h, w, -1)
+
+    out = (g(y0i, x0i) * (1 - fx) * (1 - fy)
+           + g(y0i, x1i) * fx * (1 - fy)
+           + g(y1i, x0i) * (1 - fx) * fy
+           + g(y1i, x1i) * fx * fy)
 
     out_mask = None
-    if mask is not None:
+    if masks is not None:
         xn = _reflect_index(jnp.round(sx).astype(jnp.int32), w)
         yn = _reflect_index(jnp.round(sy).astype(jnp.int32), h)
-        out_mask = mask[yn, xn]
+        idx = (base + yn * w + xn).reshape(-1)
+        out_mask = jnp.take(masks.reshape(-1), idx).reshape(n, h, w)
     return out, out_mask
 
 
-def _rot90_pair(img, mask, k):
-    def rot(n):
-        def f(_):
-            i = jnp.rot90(img, n, axes=(0, 1))
-            m = jnp.rot90(mask, n, axes=(0, 1)) if mask is not None else None
-            return i, m
-        return f
-    return jax.lax.switch(k, [rot(0), rot(1), rot(2), rot(3)], None)
-
-
-def _flip_pair(img, mask, code):
-    """code: 0 = horizontal, 1 = vertical, 2 = both (cv2 flip-code semantics)."""
-    def mk(axes):
-        def f(_):
-            i = img
-            m = mask
-            for ax in axes:
-                i = jnp.flip(i, axis=ax)
-                m = jnp.flip(m, axis=ax) if m is not None else None
-            return i, m
-        return f
-    return jax.lax.switch(code, [mk((1,)), mk((0,)), mk((0, 1))], None)
-
-
-def _geometric_one(key, img, mask, cfg: AugmentConfig):
-    """All geometric ops for one image (+ aligned mask)."""
-    k = jax.random.split(key, 8)
-
-    # RandomRotate90(p): with prob p rotate by k*90, k ~ U{0..3}
-    do = _bern(k[0], cfg.p_rot90)
-    kk = jnp.where(do, jax.random.randint(k[1], (), 0, 4), 0)
-    img, mask = _rot90_pair(img, mask, kk)
-
-    # Flip(p): with prob p flip h / v / both uniformly
-    do = _bern(k[2], cfg.p_flip)
-    code = jax.random.randint(k[3], (), 0, 3)
-    fimg, fmask = _flip_pair(img, mask, code)
-    img = jnp.where(do, fimg, img)
-    mask = jnp.where(do, fmask, mask) if mask is not None else None
-
-    # Transpose(p)
-    do = _bern(k[4], cfg.p_transpose)
-    img = jnp.where(do, jnp.swapaxes(img, 0, 1), img)
-    if mask is not None:
-        mask = jnp.where(do, jnp.swapaxes(mask, 0, 1), mask)
-
-    # ShiftScaleRotate(p)
-    if cfg.p_ssr > 0:
-        do = _bern(k[5], cfg.p_ssr)
-        sk = jax.random.split(k[6], 4)
-        shift = jax.random.uniform(sk[0], (2,), minval=-cfg.shift_limit,
-                                   maxval=cfg.shift_limit)
-        scale = 1.0 + jax.random.uniform(sk[1], (), minval=-cfg.scale_limit,
-                                         maxval=cfg.scale_limit)
-        ang = jnp.deg2rad(jax.random.uniform(sk[2], (), minval=-cfg.rotate_limit,
-                                             maxval=cfg.rotate_limit))
-        wimg, wmask = _affine_warp(img, mask, shift, scale, ang)
-        img = jnp.where(do, wimg, img)
-        if mask is not None:
-            mask = jnp.where(do, wmask, mask)
-    return img, mask
-
-
-def _box_blur(img, size: int):
-    """Depthwise box blur (approximates the reference's blur OneOf family)."""
-    c = img.shape[-1]
-    kernel = jnp.ones((size, size, 1, 1), dtype=img.dtype) / (size * size)
-    kernel = jnp.tile(kernel, (1, 1, 1, c))          # HWIO, feature groups
-    x = img[None]                                     # NHWC
-    y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    return y[0]
+# ---------------------------------------------------------------------------
+# photometric: batched branch-free elementwise ops
+# ---------------------------------------------------------------------------
+def _box_blur(x, size: int):
+    """Separable box blur over a batch (n, h, w, c): two k-term shifted
+    sums with edge padding -- pure VPU adds, no conv machinery (grouped
+    convs compile pathologically under XLA:CPU)."""
+    h, w = x.shape[1], x.shape[2]
+    r = size // 2
+    y = jnp.pad(x, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    y = sum(y[:, i:i + h] for i in range(size)) / size
+    y = jnp.pad(y, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    return sum(y[:, :, i:i + w] for i in range(size)) / size
 
 
 def _rgb_to_hsv(rgb):
@@ -243,7 +250,8 @@ def _rgb_to_hsv(rgb):
     rc = (maxc - r) / safe
     gc = (maxc - g) / safe
     bc = (maxc - b) / safe
-    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(r == maxc, bc - gc,
+                  jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
     h = jnp.where(delta == 0, 0.0, (h / 6.0) % 1.0)
     return jnp.stack([h, s, v], axis=-1)
 
@@ -256,56 +264,61 @@ def _hsv_to_rgb(hsv):
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     i = i.astype(jnp.int32) % 6
-    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [v, q, p, p, t, v])
-    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [t, v, v, q, p, p])
-    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5], [p, p, t, v, v, q])
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _photometric_one(key, img, cfg: AugmentConfig):
-    """All photometric ops for one image (mask untouched)."""
-    k = jax.random.split(key, 10)
+def _photometric_batch(key, x, cfg: AugmentConfig):
+    """All photometric ops, batched; per-image `where` gates (masks untouched)."""
+    n = x.shape[0]
+    k = jax.random.split(key, 12)
+    u = lambda kk: jax.random.uniform(kk, (n,))
+    gate = lambda d: d[:, None, None, None]
 
-    # gaussian noise
     if cfg.p_noise > 0:
-        do = _bern(k[0], cfg.p_noise)
-        std = jax.random.uniform(k[1], (), minval=cfg.noise_std[0],
+        do = u(k[0]) < cfg.p_noise
+        std = jax.random.uniform(k[1], (n,), minval=cfg.noise_std[0],
                                  maxval=cfg.noise_std[1])
-        noise = jax.random.normal(k[2], img.shape) * std
-        img = jnp.where(do, jnp.clip(img + noise, 0.0, 1.0), img)
+        noise = jax.random.normal(k[2], x.shape) * std[:, None, None, None]
+        x = jnp.where(gate(do), jnp.clip(x + noise, 0.0, 1.0), x)
 
-    # blur family -> box blur
     if cfg.p_blur > 0:
-        do = _bern(k[3], cfg.p_blur)
-        img = jnp.where(do, _box_blur(img, cfg.blur_size), img)
+        do = u(k[3]) < cfg.p_blur
+        x = jnp.where(gate(do), _box_blur(x, cfg.blur_size), x)
 
-    # color OneOf {sharpen, brightness/contrast}
     if cfg.p_color > 0:
-        do = _bern(k[4], cfg.p_color)
-        which = _bern(k[5], 0.5)
-        sharp = jnp.clip(img + 0.6 * (img - _box_blur(img, 3)), 0.0, 1.0)
-        b = jax.random.uniform(k[6], (), minval=-cfg.brightness_limit,
+        do = u(k[4]) < cfg.p_color
+        which = u(k[5]) < 0.5
+        sharp = jnp.clip(x + 0.6 * (x - _box_blur(x, 3)), 0.0, 1.0)
+        b = jax.random.uniform(k[6], (n,), minval=-cfg.brightness_limit,
                                maxval=cfg.brightness_limit)
-        c = 1.0 + jax.random.uniform(k[7], (), minval=-cfg.contrast_limit,
+        c = 1.0 + jax.random.uniform(k[7], (n,), minval=-cfg.contrast_limit,
                                      maxval=cfg.contrast_limit)
-        bc = jnp.clip((img - 0.5) * c + 0.5 + b, 0.0, 1.0)
-        img = jnp.where(do, jnp.where(which, sharp, bc), img)
+        bc = jnp.clip((x - 0.5) * c[:, None, None, None] + 0.5
+                      + b[:, None, None, None], 0.0, 1.0)
+        x = jnp.where(gate(do), jnp.where(gate(which), sharp, bc), x)
 
-    # HSV jitter
     if cfg.p_hsv > 0:
-        do = _bern(k[8], cfg.p_hsv)
-        sk = jax.random.split(k[9], 3)
-        dh = jax.random.uniform(sk[0], (), minval=-cfg.hue_shift, maxval=cfg.hue_shift)
-        ds = jax.random.uniform(sk[1], (), minval=-cfg.sat_shift, maxval=cfg.sat_shift)
-        dv = jax.random.uniform(sk[2], (), minval=-cfg.val_shift, maxval=cfg.val_shift)
-        hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+        do = u(k[8]) < cfg.p_hsv
+        dh = jax.random.uniform(k[9], (n,), minval=-cfg.hue_shift,
+                                maxval=cfg.hue_shift)
+        ds = jax.random.uniform(k[10], (n,), minval=-cfg.sat_shift,
+                                maxval=cfg.sat_shift)
+        dv = jax.random.uniform(k[11], (n,), minval=-cfg.val_shift,
+                                maxval=cfg.val_shift)
+        hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
         hsv = jnp.stack([
-            (hsv[..., 0] + dh) % 1.0,
-            jnp.clip(hsv[..., 1] + ds, 0.0, 1.0),
-            jnp.clip(hsv[..., 2] + dv, 0.0, 1.0),
+            (hsv[..., 0] + dh[:, None, None]) % 1.0,
+            jnp.clip(hsv[..., 1] + ds[:, None, None], 0.0, 1.0),
+            jnp.clip(hsv[..., 2] + dv[:, None, None], 0.0, 1.0),
         ], axis=-1)
-        img = jnp.where(do, _hsv_to_rgb(hsv), img)
-    return img
+        x = jnp.where(gate(do), _hsv_to_rgb(hsv), x)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -343,27 +356,13 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     x = images.astype(jnp.float32)
     x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
     n = x.shape[0]
-    keys = jax.random.split(key, n)
+    m = masks.astype(jnp.int32) if masks is not None else None
 
-    if masks is not None:
-        m = masks.astype(jnp.int32)
-
-        def one(k, img, msk):
-            k1, k2 = jax.random.split(k)
-            img, msk = _geometric_one(k1, img, msk, cfg)
-            img = _photometric_one(k2, img, cfg)
-            return img, msk
-
-        x, m = jax.vmap(one)(keys, x, m)
-    else:
-        def one_img(k, img):
-            k1, k2 = jax.random.split(k)
-            img, _ = _geometric_one(k1, img, None, cfg)
-            img = _photometric_one(k2, img, cfg)
-            return img
-
-        x = jax.vmap(one_img)(keys, x)
-        m = None
+    k_geo, k_photo = jax.random.split(key)
+    if cfg.has_geometric:
+        fwd, shift = _sample_geometric(k_geo, n, cfg)
+        x, m = _warp_batch(x, m, fwd, shift)
+    x = _photometric_batch(k_photo, x, cfg)
 
     if normalize:
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
