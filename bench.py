@@ -23,7 +23,7 @@ import sys
 import time
 
 
-def run_bench(tile: int = 512, batch_candidates=(64, 32, 16, 8, 4),
+def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
               steps: int = 20, warmup: int = 3, encoder: str = "resnet34",
               classes: int = 23, smoke: bool = False):
     import jax
@@ -59,20 +59,23 @@ def run_bench(tile: int = 512, batch_candidates=(64, 32, 16, 8, 4),
                 rng.integers(0, classes, (batch, tile, tile)).astype(np.int32))
             key = jax.random.key(0)
 
-            for _ in range(warmup):
-                state, metrics = step(state, key, images, masks)
-            jax.block_until_ready(metrics["loss"])
+            for i in range(warmup):
+                state, metrics = step(state, jax.random.fold_in(key, i),
+                                      images, masks)
+            # fetch a scalar: block_until_ready returns early on remote
+            # runtimes; a host fetch of the chained loss is the honest sync
+            float(metrics["loss"])
 
             t0 = time.perf_counter()
-            for _ in range(steps):
-                state, metrics = step(state, key, images, masks)
-            jax.block_until_ready(metrics["loss"])
+            for i in range(steps):
+                state, metrics = step(state, jax.random.fold_in(key, 100 + i),
+                                      images, masks)
+            last_loss = float(metrics["loss"])
             dt = time.perf_counter() - t0
 
             tiles_per_sec = steps * batch / dt
             result = {"batch": batch, "tiles_per_sec": tiles_per_sec,
-                      "step_ms": dt / steps * 1e3,
-                      "loss": float(metrics["loss"])}
+                      "step_ms": dt / steps * 1e3, "loss": last_loss}
             break
         except Exception as e:  # OOM at this batch size -> try smaller
             msg = str(e)

@@ -11,11 +11,13 @@ around how XLA compiles and how the VPU executes:
 - **All randomness is drawn batched up front** (a handful of
   (B,)-shaped threefry calls) -- no per-image key splitting, no vmap of
   scalar RNG (which triggers multi-minute XLA compiles).
-- **All geometric ops fuse into ONE warp**: rot90/flip/transpose are
-  exact elements of the dihedral group D4, composed with
-  shift-scale-rotate into a single per-image 2x2 matrix; the batch is
-  sampled with ONE flat bilinear gather (image) + ONE nearest gather
-  (mask).  No lax.switch, no branches, one pass over HBM.
+- **Geometric ops avoid per-pixel gathers** (measured ~100x slower than
+  dense ops on TPU): rot90/flip/transpose compose into one dihedral-
+  group element applied as three dense passes (transpose / reverse /
+  reverse) with per-image `where` gates; shift-scale-rotate uses a
+  per-batch SHARED sampling grid so each bilinear corner is a
+  contiguous row-gather over a (H*W, B*C) layout (per-image
+  application gate keeps per-image randomness).
 - **Photometric ops are branch-free batched elementwise** with
   per-image `where` gates -- pure VPU work that XLA fuses.
 
@@ -130,15 +132,17 @@ def _reflect_index(idx, n):
     return jnp.where(r < n, r, period - r)
 
 
-def _sample_geometric(key, n: int, cfg: AugmentConfig):
-    """Batched forward affines: (n, 2, 2) matrices + (n, 2) relative shifts.
+def _sample_dihedral(key, n: int, cfg: AugmentConfig):
+    """Per-image dihedral element as (transpose?, flip_x?, flip_y?) booleans.
 
     Mirrors the albumentations sequence RandomRotate90(p) -> Flip(p) ->
-    Transpose(p) -> ShiftScaleRotate(p) (reference
-    src/models/augmentation.py:8-38) as matrix composition; un-applied
-    ops contribute the identity, keeping everything branch-free.
+    Transpose(p) (reference src/models/augmentation.py:8-38): the
+    composed group element is computed as an integer matrix product and
+    decoded into the unique ``F_y^c F_x^b T^a`` factorization -- which
+    maps onto three dense array ops (transpose / reverse-width /
+    reverse-height) instead of gathers.
     """
-    k = jax.random.split(key, 8)
+    k = jax.random.split(key, 5)
     u = lambda kk: jax.random.uniform(kk, (n,))
 
     kk_rot = jnp.where(u(k[0]) < cfg.p_rot90,
@@ -146,82 +150,98 @@ def _sample_geometric(key, n: int, cfg: AugmentConfig):
     fcode = jnp.where(u(k[2]) < cfg.p_flip,
                       jax.random.randint(k[3], (n,), 0, 3) + 1, 0)
     tcode = (u(k[4]) < cfg.p_transpose).astype(jnp.int32)
-    dihedral = jnp.einsum("nij,njk,nkl->nil",
-                          _TRANSPOSE[tcode], _FLIP[fcode], _ROT90[kk_rot])
+    m = jnp.einsum("nij,njk,nkl->nil",
+                   _TRANSPOSE[tcode], _FLIP[fcode], _ROT90[kk_rot])
 
-    do = (u(k[5]) < cfg.p_ssr) if cfg.p_ssr > 0 else jnp.zeros(n, bool)
-    sk = jax.random.split(k[6], 3)
-    shift = jnp.where(do[:, None], jax.random.uniform(
-        sk[0], (n, 2), minval=-cfg.shift_limit, maxval=cfg.shift_limit), 0.0)
-    scale = jnp.where(do, 1.0 + jax.random.uniform(
-        sk[1], (n,), minval=-cfg.scale_limit, maxval=cfg.scale_limit), 1.0)
-    ang = jnp.where(do, jnp.deg2rad(jax.random.uniform(
-        sk[2], (n,), minval=-cfg.rotate_limit, maxval=cfg.rotate_limit)), 0.0)
+    a = m[:, 0, 0] == 0                                   # transpose part
+    b = jnp.where(a, m[:, 0, 1] < 0, m[:, 0, 0] < 0)      # flip x (width)
+    c = jnp.where(a, m[:, 1, 0] < 0, m[:, 1, 1] < 0)      # flip y (height)
+    return a, b, c
+
+
+def _apply_dihedral(x, m, a, b, c):
+    """Apply per-image dihedral elements with dense ops + per-image selects.
+
+    Three full passes over the batch (transpose, reverse-w, reverse-h)
+    gated by (B,)-wise ``where`` -- pure streaming HBM traffic, no
+    gathers (a per-image gather here costs ~100x more on TPU).
+    """
+    ga = a[:, None, None, None]
+    gb = b[:, None, None, None]
+    gc = c[:, None, None, None]
+    x = jnp.where(ga, jnp.transpose(x, (0, 2, 1, 3)), x)
+    x = jnp.where(gb, jnp.flip(x, axis=2), x)
+    x = jnp.where(gc, jnp.flip(x, axis=1), x)
+    if m is not None:
+        m = jnp.where(a[:, None, None], jnp.transpose(m, (0, 2, 1)), m)
+        m = jnp.where(b[:, None, None], jnp.flip(m, axis=2), m)
+        m = jnp.where(c[:, None, None], jnp.flip(m, axis=1), m)
+    return x, m
+
+
+def _ssr_warp_shared(key, x, m, cfg: AugmentConfig):
+    """Shift-scale-rotate with a per-batch shared sampling grid.
+
+    TPU-first tradeoff, documented: per-image warp grids force per-pixel
+    gathers (measured ~270 ms per corner at B=64/512px); ONE shared grid
+    turns each bilinear corner into a row-gather over a (H*W, B*C)
+    layout -- contiguous 128-lane rows, ~20x faster.  Per-image
+    randomness is preserved in the APPLICATION gate (each image warps
+    with prob ``p_ssr``) and across steps/views via the key; the warp
+    magnitudes are shared within a batch (the reference draws them
+    per-image, src/models/augmentation.py:25-31).
+    """
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    ch = x.shape[3]
+    k = jax.random.split(key, 4)
+    do = jax.random.uniform(k[0], (n,)) < cfg.p_ssr
+    shift = jax.random.uniform(k[1], (2,), minval=-cfg.shift_limit,
+                               maxval=cfg.shift_limit)
+    scale = 1.0 + jax.random.uniform(k[2], (), minval=-cfg.scale_limit,
+                                     maxval=cfg.scale_limit)
+    ang = jnp.deg2rad(jax.random.uniform(k[3], (), minval=-cfg.rotate_limit,
+                                         maxval=cfg.rotate_limit))
 
     cos, sin = jnp.cos(ang), jnp.sin(ang)
-    rot = jnp.stack([jnp.stack([cos, -sin], -1),
-                     jnp.stack([sin, cos], -1)], -2) * scale[:, None, None]
-    return jnp.einsum("nij,njk->nik", rot, dihedral), shift
-
-
-def _inv2x2(m):
-    """Batched 2x2 inverse: m is (n, 2, 2)."""
-    det = m[:, 0, 0] * m[:, 1, 1] - m[:, 0, 1] * m[:, 1, 0]
-    adj = jnp.stack([jnp.stack([m[:, 1, 1], -m[:, 0, 1]], -1),
-                     jnp.stack([-m[:, 1, 0], m[:, 0, 0]], -1)], -2)
-    return adj / det[:, None, None]
-
-
-def _warp_batch(images, masks, fwd, shift):
-    """Apply per-image affines to the whole batch with ONE flat gather each.
-
-    Inverse-map sampling: ``src = A^-1 @ (out - c - shift_px) + c`` with
-    reflect-101 borders.  Image bilinear, mask nearest.  Pure dihedral
-    elements land on exact integer coordinates, reproducing
-    rot90/flip/transpose exactly.
-
-    ``images``: (n, h, w, c) float32; ``masks``: (n, h, w) int or None.
-    """
-    n, h, w = images.shape[0], images.shape[1], images.shape[2]
-    inv = _inv2x2(fwd)
+    inv_s = 1.0 / scale
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
-    ox = xx[None] - cx - shift[:, 0, None, None] * w    # (n, h, w)
-    oy = yy[None] - cy - shift[:, 1, None, None] * h
-    sx = inv[:, 0, 0, None, None] * ox + inv[:, 0, 1, None, None] * oy + cx
-    sy = inv[:, 1, 0, None, None] * ox + inv[:, 1, 1, None, None] * oy + cy
+    ox = xx - cx - shift[0] * w
+    oy = yy - cy - shift[1] * h
+    sx = (cos * ox + sin * oy) * inv_s + cx
+    sy = (-sin * ox + cos * oy) * inv_s + cy
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    fx = (sx - x0)[..., None]
-    fy = (sy - y0)[..., None]
+    fx = (sx - x0).reshape(h * w, 1)
+    fy = (sy - y0).reshape(h * w, 1)
     x0i = _reflect_index(x0.astype(jnp.int32), w)
     x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
     y0i = _reflect_index(y0.astype(jnp.int32), h)
     y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
 
-    # flatten batch+space: one gather per bilinear corner
-    base = (jnp.arange(n, dtype=jnp.int32) * (h * w))[:, None, None]
-    flat = images.reshape(n * h * w, -1)
+    # rows layout: one shared index vector gathers (B*C)-wide rows
+    rows = jnp.transpose(x, (1, 2, 0, 3)).reshape(h * w, n * ch)
 
     def g(yi, xi):
-        idx = (base + yi * w + xi).reshape(-1)
-        return jnp.take(flat, idx, axis=0).reshape(n, h, w, -1)
+        return jnp.take(rows, (yi * w + xi).reshape(-1), axis=0)
 
     out = (g(y0i, x0i) * (1 - fx) * (1 - fy)
            + g(y0i, x1i) * fx * (1 - fy)
            + g(y1i, x0i) * (1 - fx) * fy
            + g(y1i, x1i) * fx * fy)
+    out = jnp.transpose(out.reshape(h, w, n, ch), (2, 0, 1, 3))
+    x = jnp.where(do[:, None, None, None], out, x)
 
-    out_mask = None
-    if masks is not None:
+    if m is not None:
         xn = _reflect_index(jnp.round(sx).astype(jnp.int32), w)
         yn = _reflect_index(jnp.round(sy).astype(jnp.int32), h)
-        idx = (base + yn * w + xn).reshape(-1)
-        out_mask = jnp.take(masks.reshape(-1), idx).reshape(n, h, w)
-    return out, out_mask
+        mrows = jnp.transpose(m, (1, 2, 0)).reshape(h * w, n)
+        mo = jnp.take(mrows, (yn * w + xn).reshape(-1), axis=0)
+        mo = jnp.transpose(mo.reshape(h, w, n), (2, 0, 1))
+        m = jnp.where(do[:, None, None], mo, m)
+    return x, m
 
 
 # ---------------------------------------------------------------------------
@@ -358,10 +378,12 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     n = x.shape[0]
     m = masks.astype(jnp.int32) if masks is not None else None
 
-    k_geo, k_photo = jax.random.split(key)
-    if cfg.has_geometric:
-        fwd, shift = _sample_geometric(k_geo, n, cfg)
-        x, m = _warp_batch(x, m, fwd, shift)
+    k_dih, k_ssr, k_photo = jax.random.split(key, 3)
+    if cfg.p_rot90 > 0 or cfg.p_flip > 0 or cfg.p_transpose > 0:
+        a, b, c = _sample_dihedral(k_dih, n, cfg)
+        x, m = _apply_dihedral(x, m, a, b, c)
+    if cfg.p_ssr > 0:
+        x, m = _ssr_warp_shared(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)
 
     if normalize:

@@ -50,10 +50,15 @@ def softmax_cross_entropy(logits, labels, class_weights=None, reduction="mean"):
     ``logits``: (..., C) float; ``labels``: (...) int.  With class weights,
     mean reduction divides by the summed weights of the realized labels
     (torch ``F.cross_entropy(weight=...)`` semantics).
+
+    The label pick is a dense one-hot contraction, NOT take_along_axis:
+    gather's gradient is a scatter, which serializes on TPU; the one-hot
+    multiply-sum fuses on the VPU forward and backward.
     """
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if class_weights is not None:
         w = jnp.asarray(class_weights, dtype=jnp.float32)[labels]
         nll = nll * w
@@ -178,9 +183,9 @@ class WeightedSegmentationLoss:
     def focal_loss(self, logits, targets):
         logits = logits.astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32),
-                                   axis=-1)[..., 0]
-        ce = nll * self.class_weights[targets]
+        onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=jnp.float32)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        ce = nll * jnp.sum(self.class_weights * onehot, axis=-1)
         pt = jnp.exp(-ce)
         focal = self.alpha * (1.0 - pt) ** self.gamma * ce
         return jnp.mean(focal) if self.reduction == "mean" else jnp.sum(focal)

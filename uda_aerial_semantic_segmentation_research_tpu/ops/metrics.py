@@ -36,18 +36,24 @@ import numpy as np
 def confusion_matrix(pred, true, num_classes: int, ignore_index: Optional[int] = None):
     """(num_classes, num_classes) histogram; rows=true, cols=pred (int32).
 
-    Same construction as the reference's ``_fast_hist``
-    (src/analysis/metrics.py:17-27): bincount of ``C * true + pred`` over
-    the valid-label mask.
+    Same semantics as the reference's ``_fast_hist``
+    (src/analysis/metrics.py:17-27), computed as a one-hot matmul
+    ``onehot(true)^T @ onehot(pred)`` instead of a bincount: the
+    scatter-add behind bincount serializes on TPU, while the (C, N) x
+    (N, C) contraction rides the MXU.  Elementwise-additive across
+    replicas, so distributed eval reduces with one ``psum``.
     """
     pred = pred.reshape(-1).astype(jnp.int32)
     true = true.reshape(-1).astype(jnp.int32)
     mask = (true >= 0) & (true < num_classes)
     if ignore_index is not None:
         mask = mask & (true != ignore_index)
-    idx = jnp.where(mask, num_classes * true + pred, num_classes * num_classes)
-    hist = jnp.bincount(idx, length=num_classes * num_classes + 1)[:-1]
-    return hist.reshape(num_classes, num_classes)
+    a = jax.nn.one_hot(jnp.where(mask, true, num_classes), num_classes,
+                       dtype=jnp.bfloat16)          # invalid rows -> all-zero
+    b = jax.nn.one_hot(pred, num_classes, dtype=jnp.bfloat16)
+    hist = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return hist.astype(jnp.int32)
 
 
 def iou_from_hist(hist):
