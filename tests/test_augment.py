@@ -32,7 +32,7 @@ RNG = np.random.default_rng(3)
 IMGS = RNG.integers(0, 255, (B, S, S, 3)).astype(np.uint8)
 MASKS = RNG.integers(0, 7, (B, S, S)).astype(np.int32)
 GEO_ONLY = AugmentConfig(p_rot90=1.0, p_flip=1.0, p_transpose=1.0, p_ssr=0.0,
-                         p_noise=0, p_blur=0, p_color=0, p_hsv=0)
+                         p_noise=0, p_blur=0, p_color=0, p_hsv=0, p_distort=0)
 
 
 def test_shapes_and_dtypes():
@@ -80,7 +80,7 @@ def test_image_mask_alignment_ssr():
     coded_m = blocks[None].astype(np.int32)
     coded_i = np.repeat((blocks[None] * 13 % 251)[..., None], 3, -1).astype(np.uint8)
     ssr = AugmentConfig(p_rot90=0, p_flip=0, p_transpose=0, p_ssr=1.0,
-                        p_noise=0, p_blur=0, p_color=0, p_hsv=0)
+                        p_noise=0, p_blur=0, p_color=0, p_hsv=0, p_distort=0)
     xc, mc = augment_batch(jax.random.key(9), coded_i, coded_m, cfg=ssr,
                            normalize=False)
     xc = np.asarray(xc)[0, :, :, 0] * 255.0

@@ -209,12 +209,30 @@ class DroneDataset:
         return len(self.images)
 
     def load_raw(self, idx: int):
-        """Decode one (image uint8 HWC RGB, mask int32 HW) pair, resized if configured."""
-        image = cv2.imread(os.path.join(self.images_dir, self.images[idx]))
+        """Decode one (image uint8 HWC RGB, mask int32 HW) pair, resized if configured.
+
+        Hot path goes through the native C++ loader (DCT-scaled JPEG
+        decode + resize directly into the output buffer,
+        native/loader.cpp); cv2 is the fallback.
+        """
+        img_path = os.path.join(self.images_dir, self.images[idx])
+        mask_path = os.path.join(self.masks_dir, self.masks[idx])
+
+        if self.image_size is not None:
+            from uda_aerial_semantic_segmentation_research_tpu.data import native
+
+            s = self.image_size
+            image = (native.decode_jpeg_rgb(img_path, s, s)
+                     if img_path.lower().endswith((".jpg", ".jpeg")) else None)
+            mask = native.decode_png_mask(mask_path, s, s)
+            if image is not None and mask is not None:
+                return image, mask
+
+        image = cv2.imread(img_path)
         if image is None:
             raise ValueError(f"Failed to load image: {self.images[idx]}")
         image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
-        mask = cv2.imread(os.path.join(self.masks_dir, self.masks[idx]), cv2.IMREAD_GRAYSCALE)
+        mask = cv2.imread(mask_path, cv2.IMREAD_GRAYSCALE)
         if mask is None:
             raise ValueError(f"Failed to load mask: {self.masks[idx]}")
         if self.image_size is not None and image.shape[:2] != (self.image_size, self.image_size):

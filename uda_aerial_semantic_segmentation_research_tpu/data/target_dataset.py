@@ -44,8 +44,20 @@ class TargetDataset:
         return len(self.images)
 
     def load_raw(self, idx: int) -> np.ndarray:
-        """Decode one image -> uint8 (H, W, 3) RGB resized to target_size."""
+        """Decode one image -> uint8 (H, W, 3) RGB resized to target_size.
+
+        JPEGs go through the native C++ loader (DCT-scaled decode,
+        native/loader.cpp) -- multi-megapixel DJI photos decode at a
+        fraction of the full-resolution cost; cv2 is the fallback.
+        """
         path = os.path.join(self.images_dir, self.images[idx])
+        if self.target_size and path.lower().endswith((".jpg", ".jpeg")):
+            from uda_aerial_semantic_segmentation_research_tpu.data import native
+
+            w, h = self.target_size
+            out = native.decode_jpeg_rgb(path, h, w)
+            if out is not None:
+                return out
         image = cv2.imread(path)
         if image is None:
             raise ValueError(f"Failed to load image: {path}")

@@ -32,10 +32,12 @@ strong=get_strong_augmentation):
   blur (motion/median/box family)     separable box-blur approximation
   brightness-contrast / sharpen       exact
   hue-saturation-value                exact (jnp RGB<->HSV)
-  CLAHE / emboss / optical-grid-      not implemented on device: data-
-    elastic distortions               dependent or negligible-value ops;
-                                      the OneOf groups containing them
-                                      fall back to tractable members.
+  optical / grid / elastic distortion shared-grid displacement fields
+                                      (OneOf per batch, per-image gate)
+  CLAHE / emboss                      not implemented on device (data-
+                                      dependent per-pixel LUT / marginal
+                                      value); their OneOf groups fall
+                                      back to tractable members.
   Normalize (ImageNet) + ToTensor     fused into the same program;
                                       output float32 NHWC.
 """
@@ -84,11 +86,19 @@ class AugmentConfig:
     hue_shift: float = 20.0 / 360.0
     sat_shift: float = 30.0 / 255.0
     val_shift: float = 20.0 / 255.0
+    # distortions: OneOf {optical, grid, elastic}
+    # (reference src/models/augmentation.py distortion OneOf group)
+    p_distort: float = 0.2
+    optical_limit: float = 0.05     # radial distortion coefficient range
+    grid_steps: int = 5             # control points per axis
+    grid_limit: float = 0.3         # control-point jitter (cell fraction)
+    elastic_alpha: float = 1.0      # displacement magnitude (pixels)
+    elastic_sigma: int = 50         # smoothness (low-res field cell size)
 
     @property
     def has_geometric(self) -> bool:
         return (self.p_rot90 > 0 or self.p_flip > 0 or self.p_transpose > 0
-                or self.p_ssr > 0)
+                or self.p_ssr > 0 or self.p_distort > 0)
 
 
 # Reference weak pipeline: src/models/augmentation.py:8-38
@@ -103,12 +113,13 @@ STRONG = AugmentConfig(
     p_color=0.5, brightness_limit=0.3, contrast_limit=0.3,
     p_hsv=0.4, hue_shift=20.0 / 360.0, sat_shift=30.0 / 255.0,
     val_shift=20.0 / 255.0,
+    p_distort=0.3, optical_limit=0.08, grid_limit=0.4, elastic_alpha=1.5,
 )
 
 # Validation pipeline: normalize only (src/models/augmentation.py:90-95)
 NONE = AugmentConfig(
     p_rot90=0.0, p_flip=0.0, p_transpose=0.0, p_ssr=0.0,
-    p_noise=0.0, p_blur=0.0, p_color=0.0, p_hsv=0.0,
+    p_noise=0.0, p_blur=0.0, p_color=0.0, p_hsv=0.0, p_distort=0.0,
 )
 
 
@@ -179,20 +190,63 @@ def _apply_dihedral(x, m, a, b, c):
     return x, m
 
 
-def _ssr_warp_shared(key, x, m, cfg: AugmentConfig):
-    """Shift-scale-rotate with a per-batch shared sampling grid.
+def _grid_sample_shared(x, m, sx, sy, gate):
+    """Sample the batch at ONE shared (sx, sy) grid, per-image gated.
 
-    TPU-first tradeoff, documented: per-image warp grids force per-pixel
-    gathers (measured ~270 ms per corner at B=64/512px); ONE shared grid
-    turns each bilinear corner into a row-gather over a (H*W, B*C)
-    layout -- contiguous 128-lane rows, ~20x faster.  Per-image
-    randomness is preserved in the APPLICATION gate (each image warps
-    with prob ``p_ssr``) and across steps/views via the key; the warp
-    magnitudes are shared within a batch (the reference draws them
-    per-image, src/models/augmentation.py:25-31).
+    TPU-first pattern: per-image warp grids force per-pixel gathers
+    (measured ~270 ms per corner at B=64/512px); a shared grid turns
+    each bilinear corner into a row-gather over a (H*W, B*C) layout --
+    contiguous 128-lane rows, ~20x faster.  Image bilinear, mask
+    nearest, reflect-101 borders; ``gate`` is the (B,) application mask.
     """
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
     ch = x.shape[3]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0).reshape(h * w, 1)
+    fy = (sy - y0).reshape(h * w, 1)
+    x0i = _reflect_index(x0.astype(jnp.int32), w)
+    x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
+    y0i = _reflect_index(y0.astype(jnp.int32), h)
+    y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
+
+    rows = jnp.transpose(x, (1, 2, 0, 3)).reshape(h * w, n * ch)
+
+    def g(yi, xi):
+        return jnp.take(rows, (yi * w + xi).reshape(-1), axis=0)
+
+    out = (g(y0i, x0i) * (1 - fx) * (1 - fy)
+           + g(y0i, x1i) * fx * (1 - fy)
+           + g(y1i, x0i) * (1 - fx) * fy
+           + g(y1i, x1i) * fx * fy)
+    out = jnp.transpose(out.reshape(h, w, n, ch), (2, 0, 1, 3))
+    x = jnp.where(gate[:, None, None, None], out, x)
+
+    if m is not None:
+        xn = _reflect_index(jnp.round(sx).astype(jnp.int32), w)
+        yn = _reflect_index(jnp.round(sy).astype(jnp.int32), h)
+        mrows = jnp.transpose(m, (1, 2, 0)).reshape(h * w, n)
+        mo = jnp.take(mrows, (yn * w + xn).reshape(-1), axis=0)
+        mo = jnp.transpose(mo.reshape(h, w, n), (2, 0, 1))
+        m = jnp.where(gate[:, None, None], mo, m)
+    return x, m
+
+
+def _identity_grid(h, w):
+    return jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                        jnp.arange(w, dtype=jnp.float32), indexing="ij")
+
+
+def _ssr_warp_shared(key, x, m, cfg: AugmentConfig):
+    """Shift-scale-rotate on a per-batch shared grid.
+
+    Per-image randomness lives in the APPLICATION gate (each image warps
+    with prob ``p_ssr``) and across steps/views via the key; the warp
+    magnitudes are shared within a batch (the reference draws them
+    per-image, src/models/augmentation.py:25-31 -- documented tradeoff).
+    """
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
     k = jax.random.split(key, 4)
     do = jax.random.uniform(k[0], (n,)) < cfg.p_ssr
     shift = jax.random.uniform(k[1], (2,), minval=-cfg.shift_limit,
@@ -205,43 +259,57 @@ def _ssr_warp_shared(key, x, m, cfg: AugmentConfig):
     cos, sin = jnp.cos(ang), jnp.sin(ang)
     inv_s = 1.0 / scale
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
-                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    yy, xx = _identity_grid(h, w)
     ox = xx - cx - shift[0] * w
     oy = yy - cy - shift[1] * h
     sx = (cos * ox + sin * oy) * inv_s + cx
     sy = (-sin * ox + cos * oy) * inv_s + cy
+    return _grid_sample_shared(x, m, sx, sy, do)
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    fx = (sx - x0).reshape(h * w, 1)
-    fy = (sy - y0).reshape(h * w, 1)
-    x0i = _reflect_index(x0.astype(jnp.int32), w)
-    x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
-    y0i = _reflect_index(y0.astype(jnp.int32), h)
-    y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
 
-    # rows layout: one shared index vector gathers (B*C)-wide rows
-    rows = jnp.transpose(x, (1, 2, 0, 3)).reshape(h * w, n * ch)
+def _distort_warp_shared(key, x, m, cfg: AugmentConfig):
+    """OneOf {optical, grid, elastic} distortion on a shared grid.
 
-    def g(yi, xi):
-        return jnp.take(rows, (yi * w + xi).reshape(-1), axis=0)
+    Device-native counterparts of the reference's albumentations
+    distortion OneOf group (src/models/augmentation.py): the batch draws
+    one distortion type + one displacement field; each image applies it
+    with prob ``p_distort``.  All three reduce to "identity grid + a
+    smooth displacement field", sampled with the same shared-grid
+    row-gather as shift-scale-rotate.
+    """
+    n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    k = jax.random.split(key, 5)
+    do = jax.random.uniform(k[0], (n,)) < cfg.p_distort
+    which = jax.random.randint(k[1], (), 0, 3)
+    yy, xx = _identity_grid(h, w)
 
-    out = (g(y0i, x0i) * (1 - fx) * (1 - fy)
-           + g(y0i, x1i) * fx * (1 - fy)
-           + g(y1i, x0i) * (1 - fx) * fy
-           + g(y1i, x1i) * fx * fy)
-    out = jnp.transpose(out.reshape(h, w, n, ch), (2, 0, 1, 3))
-    x = jnp.where(do[:, None, None, None], out, x)
+    # optical (radial barrel/pincushion): r' = r * (1 + k2 * (r/R)^2)
+    k2 = jax.random.uniform(k[2], (), minval=-cfg.optical_limit,
+                            maxval=cfg.optical_limit)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    rx, ry = (xx - cx) / cx, (yy - cy) / cy
+    r2 = rx * rx + ry * ry
+    opt_dx = (xx - cx) * k2 * r2
+    opt_dy = (yy - cy) * k2 * r2
 
-    if m is not None:
-        xn = _reflect_index(jnp.round(sx).astype(jnp.int32), w)
-        yn = _reflect_index(jnp.round(sy).astype(jnp.int32), h)
-        mrows = jnp.transpose(m, (1, 2, 0)).reshape(h * w, n)
-        mo = jnp.take(mrows, (yn * w + xn).reshape(-1), axis=0)
-        mo = jnp.transpose(mo.reshape(h, w, n), (2, 0, 1))
-        m = jnp.where(do[:, None, None], mo, m)
-    return x, m
+    # grid distortion: coarse (steps+1)^2 control-point jitter upsampled
+    gsz = cfg.grid_steps + 1
+    cell = max(h // cfg.grid_steps, 1)
+    gfield = jax.random.uniform(k[3], (gsz, gsz, 2), minval=-cfg.grid_limit,
+                                maxval=cfg.grid_limit) * cell
+    gfield = jax.image.resize(gfield, (h, w, 2), method="bilinear")
+    grid_dx, grid_dy = gfield[..., 0], gfield[..., 1]
+
+    # elastic: smooth dense field = low-res uniform noise upsampled
+    esz = max(h // max(cfg.elastic_sigma // 8, 1), 2)
+    efield = jax.random.uniform(k[4], (esz, esz, 2), minval=-1.0,
+                                maxval=1.0) * (cfg.elastic_alpha * h / 100.0)
+    efield = jax.image.resize(efield, (h, w, 2), method="bilinear")
+    el_dx, el_dy = efield[..., 0], efield[..., 1]
+
+    dx = jax.lax.switch(which, [lambda: opt_dx, lambda: grid_dx, lambda: el_dx])
+    dy = jax.lax.switch(which, [lambda: opt_dy, lambda: grid_dy, lambda: el_dy])
+    return _grid_sample_shared(x, m, xx + dx, yy + dy, do)
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +451,12 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
         a, b, c = _sample_dihedral(k_dih, n, cfg)
         x, m = _apply_dihedral(x, m, a, b, c)
     if cfg.p_ssr > 0:
+        k_ssr, k_dis = jax.random.split(k_ssr)
         x, m = _ssr_warp_shared(k_ssr, x, m, cfg)
+        if cfg.p_distort > 0:
+            x, m = _distort_warp_shared(k_dis, x, m, cfg)
+    elif cfg.p_distort > 0:
+        x, m = _distort_warp_shared(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)
 
     if normalize:

@@ -86,6 +86,7 @@ class AdversarialTrainer(SegmentationTrainer):
         total_loss, n = 0.0, 0
         target_iter = _cycle_raw(target_dataloader)
         n_total = len(source_dataloader) if hasattr(source_dataloader, "__len__") else None
+        epoch_key = self._epoch_key(epoch)
 
         pbar = tqdm(_raw_batches(source_dataloader), total=n_total,
                     desc=f"Epoch {epoch}")
@@ -99,7 +100,7 @@ class AdversarialTrainer(SegmentationTrainer):
             elif tgt_images.shape[0] > b:
                 tgt_images = tgt_images[:b]
 
-            state, metrics = self._adv_step(state, self._next_key(),
+            state, metrics = self._adv_step(state, epoch_key,
                                             src_images, src_masks, tgt_images)
             self.domain_metrics.update(metrics["source_domain_prob"],
                                        metrics["target_domain_prob"])

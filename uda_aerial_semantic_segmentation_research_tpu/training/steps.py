@@ -93,6 +93,10 @@ def make_supervised_train_step(module, num_classes: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, images, masks):
+        # derive the per-step key INSIDE the program: an eager host-side
+        # fold_in/split is a separate device dispatch per batch (hundreds
+        # of ms over a remote runtime); folding on state.step is free here
+        key = jax.random.fold_in(key, state.step)
         x, m = augment_batch(key, images, masks, cfg=aug_cfg)
 
         def loss_fn(params):
@@ -158,6 +162,7 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, src_images, src_masks, tgt_images):
+        key = jax.random.fold_in(key, state.seg.step)  # in-program key derivation
         k1, k2 = jax.random.split(key)
         xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
         xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
@@ -230,6 +235,7 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, tgt_images, epoch, sup_images=None, sup_masks=None):
+        key = jax.random.fold_in(key, state.step)  # in-program key derivation
         k1, k2, k3 = jax.random.split(key, 3)
         v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
         v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)

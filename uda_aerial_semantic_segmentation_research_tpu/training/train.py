@@ -202,6 +202,12 @@ class SegmentationTrainer:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _epoch_key(self, epoch: int):
+        """ONE key per epoch; the jitted steps fold in state.step for
+        per-batch randomness (an eager split per batch is a separate
+        device dispatch -- hundreds of ms on remote runtimes)."""
+        return jax.random.fold_in(jax.random.key(Config.SEED), epoch)
+
     def _build_steps(self):
         if self._train_step is None:
             self._train_step = step_lib.make_supervised_train_step(
@@ -325,10 +331,10 @@ class SegmentationTrainer:
 
         total_loss, n_batches = 0.0, 0
         n_total = len(dataloader) if hasattr(dataloader, "__len__") else None
+        epoch_key = self._epoch_key(epoch)
         pbar = tqdm(_raw_batches(dataloader), total=n_total, desc=f"Epoch {epoch}")
         for batch_idx, (images, masks) in enumerate(pbar):
-            state, metrics = self._train_step(state, self._next_key(),
-                                              images, masks)
+            state, metrics = self._train_step(state, epoch_key, images, masks)
             loss = float(metrics["loss"])
             total_loss += loss
             n_batches += 1

@@ -100,6 +100,7 @@ class MultiPhaseTrainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, key, src_images, src_masks, tgt_images, alpha):
+            key = jax.random.fold_in(key, state.step)  # in-program derivation
             k1, k2 = jax.random.split(key)
             xs, ms = augment_batch(k1, src_images, src_masks, cfg=WEAK)
             xt, _ = augment_batch(k2, tgt_images, None, cfg=WEAK)
@@ -142,6 +143,7 @@ class MultiPhaseTrainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, key, tgt_images):
+            key = jax.random.fold_in(key, state.step)  # in-program derivation
             k1, k2 = jax.random.split(key)
             v1, _ = augment_batch(k1, tgt_images, None, cfg=STRONG)
             v2, _ = augment_batch(k2, tgt_images, None, cfg=STRONG)

@@ -131,15 +131,16 @@ class UnsupervisedTrainer(SegmentationTrainer):
             sup_iter = _cycle()
         step = self._get_unsup_step(sup_iter is not None)
 
+        epoch_key = self._epoch_key(epoch)
         pbar = tqdm(_raw_batches(target_dataloader), total=n_total,
                     desc=f"Epoch {epoch}")
         for batch_idx, (tgt_images, _) in enumerate(pbar):
             if sup_iter is not None:
                 sup_images, sup_masks = next(sup_iter)
-                state, metrics = step(state, self._next_key(), tgt_images,
+                state, metrics = step(state, epoch_key, tgt_images,
                                       jnp.float32(epoch), sup_images, sup_masks)
             else:
-                state, metrics = step(state, self._next_key(), tgt_images,
+                state, metrics = step(state, epoch_key, tgt_images,
                                       jnp.float32(epoch))
 
             # reference quirk preserved: phase 3 has no separate source
