@@ -20,6 +20,11 @@ import jax  # noqa: E402
 # overriding JAX_PLATFORMS=cpu; tests must run on the local CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 
+# NOTE: do NOT enable the persistent compilation cache here -- in this
+# environment CPU compiles can be served by a remote compile service
+# whose AOT results target different host features (observed
+# "+prefer-no-scatter not supported on the host machine" -> SIGILL risk).
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -35,19 +35,25 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
 # ---------------------------------------------------------------------------
 # gradient reversal layer
 # ---------------------------------------------------------------------------
-@partial(jax.custom_vjp, nondiff_argnums=(1,))
-def gradient_reverse_layer(x, alpha: float = 1.0):
+@jax.custom_vjp
+def gradient_reverse_layer(x, alpha=1.0):
     """Identity on the forward pass; scales the cotangent by -alpha on the
-    backward pass (reference src/models/uda.py:103-112)."""
+    backward pass (reference src/models/uda.py:103-112).
+
+    ``alpha`` is a regular (possibly traced) argument with a zero
+    cotangent -- schedules can feed it as a device scalar without
+    retriggering compilation.
+    """
     return x
 
 
 def _grl_fwd(x, alpha):
-    return x, None
+    return x, jnp.asarray(alpha, jnp.float32)
 
 
-def _grl_bwd(alpha, _, g):
-    return (jax.tree.map(lambda t: -alpha * t, g),)
+def _grl_bwd(alpha, g):
+    return (jax.tree.map(lambda t: (-alpha * t).astype(t.dtype), g),
+            jnp.zeros_like(alpha))
 
 
 gradient_reverse_layer.defvjp(_grl_fwd, _grl_bwd)
