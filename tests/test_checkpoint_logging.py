@@ -103,3 +103,23 @@ def test_overlay_utils():
     # CHW input accepted
     out2 = create_overlay(np.transpose(img, (2, 0, 1)), mask)
     assert out2.shape == (8, 8, 3)
+
+
+def test_orbax_async_pytree_checkpoint(tmp_path):
+    """Async Orbax checkpointing of device pytrees (SURVEY.md section 5.4)."""
+    import jax.numpy as jnp
+
+    from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
+        AsyncPytreeCheckpointer,
+    )
+
+    c = AsyncPytreeCheckpointer()
+    tree = {"params": {"w": jnp.ones((4, 4)), "b": jnp.zeros(3)},
+            "step": jnp.int32(7)}
+    path = tmp_path / "orbax_ckpt"
+    c.save(path, tree)
+    c.wait()
+    back = c.restore(path, target=tree)
+    assert np.allclose(np.asarray(back["params"]["w"]), 1.0)
+    assert int(back["step"]) == 7
+    c.close()

@@ -329,13 +329,20 @@ class SegmentationTrainer:
         """One training epoch; returns (state, mean loss)."""
         from tqdm import tqdm
 
+        from uda_aerial_semantic_segmentation_research_tpu.utils.profiling import (
+            StepTimer,
+        )
+
         total_loss, n_batches = 0.0, 0
         n_total = len(dataloader) if hasattr(dataloader, "__len__") else None
         epoch_key = self._epoch_key(epoch)
+        timer = StepTimer(warmup=1)
         pbar = tqdm(_raw_batches(dataloader), total=n_total, desc=f"Epoch {epoch}")
         for batch_idx, (images, masks) in enumerate(pbar):
-            state, metrics = self._train_step(state, epoch_key, images, masks)
-            loss = float(metrics["loss"])
+            timer.items_per_step = images.shape[0]
+            with timer.step(sync=None):
+                state, metrics = self._train_step(state, epoch_key, images, masks)
+                loss = float(metrics["loss"])  # scalar fetch = real step sync
             total_loss += loss
             n_batches += 1
             global_step = (epoch - 1) * (n_total or 1) + batch_idx
@@ -362,6 +369,15 @@ class SegmentationTrainer:
             pbar.set_postfix({"loss": f"{loss:.4f}",
                               "iou": f'{float(metrics["iou"]):.4f}',
                               "acc": f'{float(metrics["accuracy"]):.4f}'})
+
+        perf = timer.summary()
+        if perf.get("steps"):
+            self.logger.log_scalar("perf/steps_per_sec",
+                                   perf["steps_per_sec"], epoch)
+            self.logger.log_scalar("perf/tiles_per_sec",
+                                   perf["items_per_sec"], epoch)
+            self.logger.log_scalar("perf/step_ms_p50",
+                                   perf["step_ms_p50"], epoch)
         return state, total_loss / max(n_batches, 1)
 
     def validate(self, dataloader, state: Optional[TrainState] = None):
@@ -511,4 +527,16 @@ def train_model(epochs: Optional[int] = None, learning_rate: Optional[float] = N
 dice_loss = DiceLoss()
 
 if __name__ == "__main__":
-    train_model()
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Supervised segmentation training (reference train_model CLI)")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--learning-rate", type=float, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--tensorboard", action="store_true",
+                        help="launch a TensorBoard server on the log dir")
+    args = parser.parse_args()
+    Config.apply_env_overrides()
+    train_model(epochs=args.epochs, learning_rate=args.learning_rate,
+                batch_size=args.batch_size, start_tensorboard=args.tensorboard)
