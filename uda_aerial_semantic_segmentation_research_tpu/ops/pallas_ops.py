@@ -1,0 +1,289 @@
+"""Pallas TPU kernels for the image front-end.
+
+``dihedral_normalize``: per-image dihedral transform (transpose /
+flip-x / flip-y gates) fused with uint8 dequantization and ImageNet
+normalization in ONE VMEM-resident pass.  The XLA path (ops/augment.py)
+executes this as four separate HBM round trips (dequant -> transpose
+select -> two flip selects -> normalize); the kernel reads each input
+tile once and writes each output tile once.
+
+Grid: one program per batch image; the whole (H, W, C) tile lives in
+VMEM (512x512x3 uint8 = 768 KB in, 3 MB f32 out -- well under the
+16 MB/core budget).  Per-image gate bits arrive via scalar prefetch
+(``PrefetchScalarGridSpec``) so the index maps can read them before the
+kernel body runs.
+
+Correctness is locked to the XLA implementation by parity tests
+(tests/test_pallas.py) which run the kernels in interpreter mode on CPU.
+
+Status notes (this environment's remote Mosaic compile helper):
+- ``fused_cross_entropy``: numerics verified fwd+bwd in interpreter
+  mode; the remote TPU compile helper currently crashes on it
+  (HTTP 500 from tpu_compile_helper).  The XLA CE is production and
+  measured at ~24 ms of a ~420 ms step (B=128 @ 512px), so the kernel
+  is an optimization-in-waiting, not a gap.
+- ``dihedral_normalize``: blocked on Mosaic's missing ``rev``
+  (jnp.flip) lowering for the TC kernel type; interpreter-validated,
+  XLA dihedral path (ops/augment._apply_dihedral) remains production.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from uda_aerial_semantic_segmentation_research_tpu.config import Config
+
+_MEAN = tuple(float(v) for v in Config.NORMALIZE_MEAN)
+_STD = tuple(float(v) for v in Config.NORMALIZE_STD)
+
+
+def _dihedral_norm_kernel(flags_ref, img_ref, stats_ref, out_ref, *,
+                          normalize: bool):
+    """One image: dequant -> gated transpose/flip-x/flip-y -> normalize.
+
+    ``stats_ref``: (2, C) VMEM block holding [mean, std] (kernels may not
+    capture traced constants; channel stats arrive as an input).
+    """
+    b = pl.program_id(0)
+    bits = flags_ref[b]
+    # Mosaic has no direct uint8 -> f32 cast; hop through int32
+    x = img_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+
+    do_t = (bits & 1) != 0
+    do_fx = (bits & 2) != 0
+    do_fy = (bits & 4) != 0
+    x = jnp.where(do_t, jnp.swapaxes(x, 0, 1), x)
+    x = jnp.where(do_fx, jnp.flip(x, axis=1), x)
+    x = jnp.where(do_fy, jnp.flip(x, axis=0), x)
+
+    if normalize:
+        x = (x - stats_ref[0]) / stats_ref[1]
+    out_ref[:] = x
+
+
+def _dihedral_mask_kernel(flags_ref, mask_ref, out_ref):
+    b = pl.program_id(0)
+    bits = flags_ref[b]
+    m = mask_ref[:]
+    do_t = (bits & 1) != 0
+    do_fx = (bits & 2) != 0
+    do_fy = (bits & 4) != 0
+    m = jnp.where(do_t, jnp.swapaxes(m, 0, 1), m)
+    m = jnp.where(do_fx, jnp.flip(m, axis=1), m)
+    m = jnp.where(do_fy, jnp.flip(m, axis=0), m)
+    out_ref[:] = m
+
+
+@partial(jax.jit, static_argnames=("normalize", "interpret"))
+def dihedral_normalize(images, flags, masks=None, *, normalize: bool = False,
+                       interpret: bool = False):
+    """Fused per-image dihedral + dequant (+ ImageNet normalize).
+
+    Args:
+        images: uint8/float (B, H, W, C) with H == W (square tiles).
+        flags: int32 (B,) bitmask -- bit0 transpose, bit1 flip-x (width),
+            bit2 flip-y (height); matches ops/augment._apply_dihedral.
+        masks: optional int32 (B, H, W) transformed with the same gates.
+        normalize: apply ImageNet mean/std after dequantization.
+        interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns (float32 images, masks or None).
+    """
+    b, h, w, c = images.shape
+    if h != w:
+        raise ValueError("dihedral kernel requires square tiles")
+    flags = flags.astype(jnp.int32)
+
+    stats = jnp.stack([jnp.asarray(_MEAN, jnp.float32),
+                       jnp.asarray(_STD, jnp.float32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i, flags: (i, 0, 0, 0)),
+            pl.BlockSpec((2, c), lambda i, flags: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i, flags: (i, 0, 0, 0)),
+    )
+
+    def img_kernel(flags_ref, img_ref, stats_ref, out_ref):
+        _dihedral_norm_kernel(flags_ref, img_ref.at[0], stats_ref,
+                              out_ref.at[0], normalize=normalize)
+
+    out = pl.pallas_call(
+        img_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        interpret=interpret,
+    )(flags, images, stats)
+
+    out_mask = None
+    if masks is not None:
+        mask_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[pl.BlockSpec((1, h, w), lambda i, flags: (i, 0, 0))],
+            out_specs=pl.BlockSpec((1, h, w), lambda i, flags: (i, 0, 0)),
+        )
+
+        def mask_kernel(flags_ref, mask_ref, out_ref):
+            _dihedral_mask_kernel(flags_ref, mask_ref.at[0], out_ref.at[0])
+
+        out_mask = pl.pallas_call(
+            mask_kernel,
+            grid_spec=mask_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            interpret=interpret,
+        )(flags, masks.astype(jnp.int32))
+    return out, out_mask
+
+
+def flags_from_abc(a, b, c):
+    """Pack the (transpose, flip_x, flip_y) booleans into the kernel bitmask."""
+    return (a.astype(jnp.int32) + 2 * b.astype(jnp.int32)
+            + 4 * c.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# fused softmax cross-entropy (custom VJP)
+# ---------------------------------------------------------------------------
+# The per-pixel CE over (B*H*W, C) logits is the largest tensor in every
+# training phase (B=128 @ 512px: 33.5M x 23).  The fused kernel:
+#   forward: one pass, accumulating the scalar mean NLL across grid
+#            steps in a (1,1) output block -- no (N,) nll or f32 softmax
+#            materialization;
+#   backward: recomputes softmax tile-by-tile and writes
+#            g * (softmax - onehot) / N in one pass.
+# Parity vs ops.losses.softmax_cross_entropy is pinned by
+# tests/test_pallas.py (interpreter mode).
+
+_CE_TILE = 8192  # logit rows per grid step
+
+
+def _ce_fwd_kernel(logits_ref, labels_ref, acc_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = 0.0
+
+    x = logits_ref[:].astype(jnp.float32)            # (TILE, C)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    lse = jnp.log(jnp.sum(jnp.exp(x - m), axis=-1)) + m[:, 0]
+    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    onehot = (cls == labels_ref[:]).astype(jnp.float32)
+    picked = jnp.sum(x * onehot, axis=-1)
+    acc_ref[0, 0] += jnp.sum(lse - picked)
+
+
+def _ce_bwd_kernel(g_ref, logits_ref, labels_ref, dx_ref, *, inv_n: float):
+    x = logits_ref[:].astype(jnp.float32)
+    m = jnp.max(x, axis=-1, keepdims=True)
+    e = jnp.exp(x - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    onehot = (cls == labels_ref[:]).astype(jnp.float32)
+    dx_ref[:] = ((p - onehot) * (g_ref[0, 0] * inv_n)).astype(dx_ref.dtype)
+
+
+def _ce_pad(logits2d, labels2d):
+    n = logits2d.shape[0]
+    pad = (-n) % _CE_TILE
+    if pad:
+        logits2d = jnp.pad(logits2d, ((0, pad), (0, 0)))
+        # padded rows get label -1: matches no class -> onehot all-zero,
+        # and their uniform-softmax NLL is subtracted analytically below
+        labels2d = jnp.pad(labels2d, ((0, pad), (0, 0)), constant_values=-1)
+    return logits2d, labels2d, pad
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def fused_cross_entropy(logits, labels):
+    """Mean softmax CE over channel-last logits via Pallas (TPU).
+
+    ``logits``: (..., C) float; ``labels``: (...) int.  Equivalent to
+    ops.losses.softmax_cross_entropy(logits, labels) without class
+    weights.
+    """
+    loss, _ = _ce_fwd(logits, labels)
+    return loss
+
+
+def _ce_call_fwd(logits2d, labels2d, interpret: bool):
+    ntiles = logits2d.shape[0] // _CE_TILE
+    c = logits2d.shape[1]
+    acc = pl.pallas_call(
+        _ce_fwd_kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
+            pl.BlockSpec((_CE_TILE, 1), lambda i: (i, 0)),
+        ],
+        # scalar accumulator lives in SMEM (scalars cannot store to VMEM)
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=interpret,
+    )(logits2d, labels2d)
+    return acc[0, 0]
+
+
+def _interpret_default() -> bool:
+    """Pallas TPU kernels run interpreted on non-TPU backends (CPU tests)."""
+    return jax.default_backend() != "tpu"
+
+
+def _ce_fwd(logits, labels, interpret: bool = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    c = logits.shape[-1]
+    n = int(np.prod(logits.shape[:-1]))
+    logits2d = logits.reshape(n, c)
+    labels2d = labels.reshape(n, 1).astype(jnp.int32)
+    logits2d, labels2d, pad = _ce_pad(logits2d, labels2d)
+
+    total = _ce_call_fwd(logits2d, labels2d, interpret)
+    if pad:
+        # padded rows contributed lse(padded zeros) = log(C); remove
+        total = total - pad * jnp.log(jnp.float32(c))
+    return total / n, (logits, labels)
+
+
+def _ce_bwd(res, g, interpret: bool = None):
+    if interpret is None:
+        interpret = _interpret_default()
+    logits, labels = res
+    c = logits.shape[-1]
+    n = int(np.prod(logits.shape[:-1]))
+    logits2d = logits.reshape(n, c)
+    labels2d = labels.reshape(n, 1).astype(jnp.int32)
+    logits2d, labels2d, pad = _ce_pad(logits2d, labels2d)
+    ntiles = logits2d.shape[0] // _CE_TILE
+
+    g2d = jnp.asarray(g, jnp.float32).reshape(1, 1)
+    dx = pl.pallas_call(
+        partial(_ce_bwd_kernel, inv_n=1.0 / n),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0)),
+            pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
+            pl.BlockSpec((_CE_TILE, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(logits2d.shape, logits.dtype),
+        interpret=interpret,
+    )(g2d, logits2d, labels2d)
+    if pad:
+        dx = dx[: n]
+    return dx.reshape(logits.shape), None
+
+
+fused_cross_entropy.defvjp(lambda lg, lb: _ce_fwd(lg, lb),
+                           lambda res, g: _ce_bwd(res, g))
