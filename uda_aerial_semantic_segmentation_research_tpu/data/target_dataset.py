@@ -9,7 +9,7 @@ transform, returns image only.  Arrays are numpy NHWC.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

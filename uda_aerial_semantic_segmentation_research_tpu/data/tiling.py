@@ -15,9 +15,8 @@ with overlap blending (SURVEY.md section 5.7).
 
 from __future__ import annotations
 
-import math
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import numpy as np
 
 from uda_aerial_semantic_segmentation_research_tpu.models.bundle import ModelBundle
 

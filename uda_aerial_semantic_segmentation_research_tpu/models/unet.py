@@ -18,11 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from uda_aerial_semantic_segmentation_research_tpu.config import Config
-from uda_aerial_semantic_segmentation_research_tpu.models.resnet import (
-    build_encoder,
-    encoder_out_channels,
-)
+from uda_aerial_semantic_segmentation_research_tpu.models.resnet import build_encoder
 
 
 def _upsample2x(x):

@@ -25,7 +25,7 @@ channels-last; the reference is NCHW).
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

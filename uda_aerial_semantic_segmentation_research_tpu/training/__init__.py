@@ -46,5 +46,14 @@ __all__ = [
     "TrainState", "AdversarialState", "EarlyStopping", "SegmentationTrainer",
     "AdversarialTrainer", "UnsupervisedTrainer", "PhaseManager",
     "TrainingPhase", "MultiPhaseTrainer", "train_model", "load_class_dict",
-    "launch_tensorboard",
+    "launch_tensorboard", "run_pipeline",
 ]
+
+
+def run_pipeline(*args, **kwargs):
+    """Three-phase pipeline entry point (lazy import, see training/pipeline.py)."""
+    from uda_aerial_semantic_segmentation_research_tpu.training.pipeline import (
+        run_pipeline as _run,
+    )
+
+    return _run(*args, **kwargs)

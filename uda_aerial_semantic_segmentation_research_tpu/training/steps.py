@@ -28,13 +28,10 @@ Reference call stacks mirrored: SegmentationTrainer.train_epoch
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
-    NONE,
     STRONG,
     WEAK,
     AugmentConfig,

@@ -93,9 +93,15 @@ class TensorboardLogger:
         self.log_dir = Path(log_dir) / timestamp
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self.writer = EventFileWriter(str(self.log_dir))
+        self._closed = False
 
     # ------------------------------------------------------------------
     def _emit(self, summary: Summary, step: int):
+        if self._closed:
+            # trainers close their logger at the end of train() (reference
+            # src/models/train.py:503) but stay usable for validate() /
+            # reuse across pipeline phases -- drop late events silently
+            return
         self.writer.add_event(
             Event(wall_time=time.time(), step=int(step), summary=summary))
 
@@ -189,7 +195,10 @@ class TensorboardLogger:
             self.log_text("model/graph_error", str(e))
 
     def flush(self):
-        self.writer.flush()
+        if not self._closed:
+            self.writer.flush()
 
     def close(self):
-        self.writer.close()
+        if not self._closed:
+            self._closed = True
+            self.writer.close()
