@@ -88,6 +88,28 @@ class AdversarialTrainer(SegmentationTrainer):
         n_total = len(source_dataloader) if hasattr(source_dataloader, "__len__") else None
         epoch_key = self._epoch_key(epoch)
 
+        def log_pending(global_step, metrics):
+            """Fetch + log one already-computed step (one step of lag
+            overlaps the host round trip with device execution)."""
+            self.domain_metrics.update(metrics["source_domain_prob"],
+                                       metrics["target_domain_prob"])
+            loss = float(metrics["loss"])
+            self.logger.log_scalar("train/seg_loss", float(metrics["seg_loss"]),
+                                   global_step)
+            self.logger.log_scalar("train/d_loss", float(metrics["d_loss"]),
+                                   global_step)
+            self.logger.log_scalar("train/adv_loss", float(metrics["adv_loss"]),
+                                   global_step)
+            md = self.domain_metrics.get_metrics()
+            pbar.set_postfix({
+                "seg_loss": f'{float(metrics["seg_loss"]):.4f}',
+                "d_loss": f'{float(metrics["d_loss"]):.4f}',
+                "adv_loss": f'{float(metrics["adv_loss"]):.4f}',
+                "domain_conf": f'{md["domain_confusion"]:.4f}',
+            })
+            return loss
+
+        pending = None
         pbar = tqdm(_raw_batches(source_dataloader), total=n_total,
                     desc=f"Epoch {epoch}")
         for batch_idx, (src_images, src_masks) in enumerate(pbar):
@@ -102,27 +124,14 @@ class AdversarialTrainer(SegmentationTrainer):
 
             state, metrics = self._adv_step(state, epoch_key,
                                             src_images, src_masks, tgt_images)
-            self.domain_metrics.update(metrics["source_domain_prob"],
-                                       metrics["target_domain_prob"])
-            loss = float(metrics["loss"])
-            total_loss += loss
+            if pending is not None:
+                total_loss += log_pending(*pending)
+                n += 1
+            pending = ((epoch - 1) * (n_total or 1) + batch_idx, metrics)
+
+        if pending is not None:
+            total_loss += log_pending(*pending)
             n += 1
-
-            global_step = (epoch - 1) * (n_total or 1) + batch_idx
-            self.logger.log_scalar("train/seg_loss", float(metrics["seg_loss"]),
-                                   global_step)
-            self.logger.log_scalar("train/d_loss", float(metrics["d_loss"]),
-                                   global_step)
-            self.logger.log_scalar("train/adv_loss", float(metrics["adv_loss"]),
-                                   global_step)
-
-            md = self.domain_metrics.get_metrics()
-            pbar.set_postfix({
-                "seg_loss": f'{float(metrics["seg_loss"]):.4f}',
-                "d_loss": f'{float(metrics["d_loss"]):.4f}',
-                "adv_loss": f'{float(metrics["adv_loss"]):.4f}',
-                "domain_conf": f'{md["domain_confusion"]:.4f}',
-            })
         return state, total_loss / max(n, 1), self.domain_metrics.get_metrics()
 
     # ------------------------------------------------------------------

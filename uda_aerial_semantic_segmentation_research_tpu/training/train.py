@@ -337,38 +337,25 @@ class SegmentationTrainer:
         n_total = len(dataloader) if hasattr(dataloader, "__len__") else None
         epoch_key = self._epoch_key(epoch)
         timer = StepTimer(warmup=1)
+        pending = None  # (global_step, batch_idx, metrics, images, masks)
         pbar = tqdm(_raw_batches(dataloader), total=n_total, desc=f"Epoch {epoch}")
         for batch_idx, (images, masks) in enumerate(pbar):
             timer.items_per_step = images.shape[0]
+            global_step = (epoch - 1) * (n_total or 1) + batch_idx
             with timer.step(sync=None):
                 state, metrics = self._train_step(state, epoch_key, images, masks)
-                loss = float(metrics["loss"])  # scalar fetch = real step sync
-            total_loss += loss
+                # log LAST step's metrics: fetching them now overlaps the
+                # host round trip with this step's device execution (one
+                # step of lag hides ~40-50 ms/step of dispatch latency on
+                # remote runtimes)
+                if pending is not None:
+                    total_loss += self._log_train_batch(state, pbar, *pending)
+                    n_batches += 1
+            pending = (global_step, batch_idx, metrics, images, masks)
+
+        if pending is not None:
+            total_loss += self._log_train_batch(state, pbar, *pending)
             n_batches += 1
-            global_step = (epoch - 1) * (n_total or 1) + batch_idx
-
-            self.logger.log_scalar("train/loss", loss, global_step)
-            self.logger.log_scalar("train/iou", float(metrics["iou"]), global_step)
-            self.logger.log_scalar("train/accuracy", float(metrics["accuracy"]),
-                                   global_step)
-            self.logger.log_scalar("train/learning_rate", self._lr, global_step)
-
-            if batch_idx % Config.LOG_INTERVAL == 0:
-                logits = self._predict_step(state.params, state.batch_stats,
-                                            images[:1])
-                self._log_predictions(images[0], masks[0], logits[0],
-                                      global_step, prefix="train")
-                self._log_confusion_matrix(metrics["hist"], global_step, "train")
-                self._log_roc_curves(logits, masks[:1], global_step, "train")
-                self._log_pr_curves(logits, masks[:1], global_step, "train")
-                per_class = np.asarray(jax.device_get(metrics["per_class_iou"]))
-                for c in range(self.num_classes):
-                    self.logger.log_scalar(f"train/iou_class_{c}",
-                                           float(per_class[c]), global_step)
-
-            pbar.set_postfix({"loss": f"{loss:.4f}",
-                              "iou": f'{float(metrics["iou"]):.4f}',
-                              "acc": f'{float(metrics["accuracy"]):.4f}'})
 
         perf = timer.summary()
         if perf.get("steps"):
@@ -379,6 +366,34 @@ class SegmentationTrainer:
             self.logger.log_scalar("perf/step_ms_p50",
                                    perf["step_ms_p50"], epoch)
         return state, total_loss / max(n_batches, 1)
+
+    def _log_train_batch(self, state, pbar, global_step, batch_idx, metrics,
+                         images, masks) -> float:
+        """Fetch + log one (already computed) step's metrics; returns loss."""
+        loss = float(metrics["loss"])
+        self.logger.log_scalar("train/loss", loss, global_step)
+        self.logger.log_scalar("train/iou", float(metrics["iou"]), global_step)
+        self.logger.log_scalar("train/accuracy", float(metrics["accuracy"]),
+                               global_step)
+        self.logger.log_scalar("train/learning_rate", self._lr, global_step)
+
+        if batch_idx % Config.LOG_INTERVAL == 0:
+            logits = self._predict_step(state.params, state.batch_stats,
+                                        images[:1])
+            self._log_predictions(images[0], masks[0], logits[0],
+                                  global_step, prefix="train")
+            self._log_confusion_matrix(metrics["hist"], global_step, "train")
+            self._log_roc_curves(logits, masks[:1], global_step, "train")
+            self._log_pr_curves(logits, masks[:1], global_step, "train")
+            per_class = np.asarray(jax.device_get(metrics["per_class_iou"]))
+            for c in range(self.num_classes):
+                self.logger.log_scalar(f"train/iou_class_{c}",
+                                       float(per_class[c]), global_step)
+
+        pbar.set_postfix({"loss": f"{loss:.4f}",
+                          "iou": f'{float(metrics["iou"]):.4f}',
+                          "acc": f'{float(metrics["accuracy"]):.4f}'})
+        return loss
 
     def validate(self, dataloader, state: Optional[TrainState] = None):
         """Full-dataset validation; histogram accumulates ON DEVICE so the

@@ -131,7 +131,32 @@ class UnsupervisedTrainer(SegmentationTrainer):
             sup_iter = _cycle()
         step = self._get_unsup_step(sup_iter is not None)
 
+        def log_pending(batch_idx, metrics):
+            """Fetch + log one already-computed step (one step of lag
+            overlaps the host round trip with device execution)."""
+            nonlocal total_loss, n
+            # reference quirk preserved: phase 3 has no separate source
+            # batch, so both accumulator slots see the target probs
+            # (reference unsupervised_trainer.py:149-152)
+            self.domain_metrics.update(source_pred=metrics["domain_prob"],
+                                       target_pred=metrics["domain_prob"])
+            loss = float(metrics["total"])
+            if np.isfinite(loss):
+                total_loss += loss
+                n += 1
+            md = self.domain_metrics.get_metrics()
+            pbar.set_postfix({
+                "loss": f"{loss:.4f}" if np.isfinite(loss) else "NaN",
+                "cons_loss": f'{float(metrics["consistency"]):.4f}',
+                "domain_conf": f'{md["domain_confusion"]:.4f}',
+                "rampup": f'{float(metrics["rampup_weight"]):.2f}',
+            })
+            if batch_idx % self.log_interval == 0:
+                self._log_training_step(metrics, md,
+                                        epoch * (n_total or 1) + batch_idx)
+
         epoch_key = self._epoch_key(epoch)
+        pending = None
         pbar = tqdm(_raw_batches(target_dataloader), total=n_total,
                     desc=f"Epoch {epoch}")
         for batch_idx, (tgt_images, _) in enumerate(pbar):
@@ -142,30 +167,12 @@ class UnsupervisedTrainer(SegmentationTrainer):
             else:
                 state, metrics = step(state, epoch_key, tgt_images,
                                       jnp.float32(epoch))
+            if pending is not None:
+                log_pending(*pending)
+            pending = (batch_idx, metrics)
 
-            # reference quirk preserved: phase 3 has no separate source
-            # batch, so both accumulator slots see the target probs
-            # (reference unsupervised_trainer.py:149-152)
-            self.domain_metrics.update(source_pred=metrics["domain_prob"],
-                                       target_pred=metrics["domain_prob"])
-
-            loss = float(metrics["total"])
-            if np.isfinite(loss):
-                total_loss += loss
-                n += 1
-
-            md = self.domain_metrics.get_metrics()
-            pbar.set_postfix({
-                "loss": f"{loss:.4f}" if np.isfinite(loss) else "NaN",
-                "cons_loss": f'{float(metrics["consistency"]):.4f}',
-                "domain_conf": f'{md["domain_confusion"]:.4f}',
-                "rampup": f'{float(metrics["rampup_weight"]):.2f}',
-            })
-
-            if batch_idx % self.log_interval == 0:
-                global_step = epoch * (n_total or 1) + batch_idx
-                self._log_training_step(metrics, md, global_step)
-
+        if pending is not None:
+            log_pending(*pending)
         return state, total_loss / max(n, 1), self.domain_metrics.get_metrics()
 
     # ------------------------------------------------------------------
