@@ -173,3 +173,34 @@ def test_pretrained_converter_maps_keys(seg_bundle):
         kk = (bs_prefix + k[len("batch_stats::"):]
               if k.startswith("batch_stats::") else enc_prefix + k)
         assert kk in own, f"converted key {kk} not in model"
+
+
+@pytest.mark.parametrize("name", ["FPN", "PSPNet", "Linknet", "DeepLabV3Plus"])
+def test_architecture_families(name, batch):
+    """By-name factory parity with the reference's getattr(smp, name)
+    instantiation (reference src/models/train.py:570-576)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_model
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    images, _ = batch
+    bundle = create_model(model_name=name, encoder_name="resnet18",
+                          classes=CLASSES, image_size=SIZE,
+                          dtype=jnp.float32)
+    logits = bundle(normalize_images(jnp.asarray(images)))
+    assert logits.shape == (BATCH, SIZE, SIZE, CLASSES)
+    assert logits.dtype == jnp.float32
+    assert bool(jnp.isfinite(logits).all())
+    # encoder pyramid exposed for the DA wrappers
+    feats = bundle.module.apply(bundle.variables,
+                                jnp.asarray(images, jnp.float32),
+                                train=False, method=bundle.module.encode)
+    assert len(feats) == 6
+
+
+def test_create_model_unknown_name():
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_model
+
+    with pytest.raises(ValueError):
+        create_model(model_name="SegFormer")

@@ -38,6 +38,48 @@ from uda_aerial_semantic_segmentation_research_tpu.models.uda import (
 from uda_aerial_semantic_segmentation_research_tpu.models.unet import Unet
 
 
+def create_model(
+    model_name: str = None,
+    encoder_name: str = None,
+    encoder_weights: Optional[str] = None,
+    in_channels: int = None,
+    classes: int = None,
+    image_size: Optional[int] = None,
+    seed: int = 0,
+    dtype=None,
+    **arch_kwargs,
+) -> ModelBundle:
+    """By-name architecture factory (smp ``getattr(smp, model_name)``
+    analogue, reference src/models/train.py:570-576).
+
+    Supported: Unet, FPN, PSPNet, Linknet, DeepLabV3Plus.
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        architectures as arch,
+    )
+
+    model_name = model_name or Config.MODEL_NAME
+    encoder_name = encoder_name or Config.ENCODER_NAME
+    in_channels = in_channels or Config.IN_CHANNELS
+    classes = classes or Config.NUM_CLASSES
+    image_size = image_size or Config.IMAGE_SIZE
+    dtype = dtype or Config.compute_dtype()
+
+    registry = {"Unet": Unet, "FPN": arch.FPN, "PSPNet": arch.PSPNet,
+                "Linknet": arch.Linknet, "DeepLabV3Plus": arch.DeepLabV3Plus}
+    if model_name not in registry:
+        raise ValueError(f"Unknown model '{model_name}'; "
+                         f"available: {sorted(registry)}")
+    module = registry[model_name](encoder_name=encoder_name, classes=classes,
+                                  in_channels=in_channels, dtype=dtype,
+                                  **arch_kwargs)
+    sample = jnp.zeros((1, image_size, image_size, in_channels), jnp.float32)
+    bundle = ModelBundle.create(module, sample, rng=jax.random.key(seed))
+    if encoder_weights == "imagenet":
+        load_imagenet_encoder(bundle, encoder_name)
+    return bundle
+
+
 def create_unet(
     encoder_name: str = None,
     encoder_weights: Optional[str] = None,
@@ -93,6 +135,6 @@ __all__ = [
     "ModelBundle", "Unet", "ResNetEncoder", "build_encoder",
     "encoder_out_channels", "DomainDiscriminator", "DomainAdaptationModel",
     "FeatureDomainDiscriminator", "UDASegmentationModel", "UDALoss",
-    "gradient_reverse_layer", "create_unet", "create_discriminator",
-    "create_uda_model", "load_imagenet_encoder",
+    "gradient_reverse_layer", "create_model", "create_unet",
+    "create_discriminator", "create_uda_model", "load_imagenet_encoder",
 ]

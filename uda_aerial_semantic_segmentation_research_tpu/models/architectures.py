@@ -1,0 +1,219 @@
+"""Additional segmentation architectures (FPN / PSPNet / Linknet /
+DeepLabV3+), NHWC Flax, sharing the ResNet encoders.
+
+The reference instantiates its model as ``getattr(smp, model_name)(...)``
+(reference src/models/train.py:570-576), i.e. ANY
+segmentation_models_pytorch architecture selected by ``Config.MODEL_NAME``.
+These are the TPU-native counterparts of the most used smp families;
+``create_model`` (models/__init__.py) is the by-name factory.
+
+Shared conventions (same as models/unet.py):
+- bf16 compute / fp32 params, NHWC, logits returned float32 at input
+  resolution;
+- ``encode()`` exposes the smp-style 6-level feature pyramid so the
+  domain-adaptation wrappers work with every family;
+- BatchNorm with cross-replica statistics for free under the data mesh.
+
+Documented approximations vs smp: PSPNet pools at (1, 2, 4, 8) bins via
+resize-average (smp uses adaptive pooling at (1, 2, 3, 6)); FPN merges
+with nearest upsampling and per-level conv blocks using BatchNorm (smp
+uses GroupNorm).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from uda_aerial_semantic_segmentation_research_tpu.models.resnet import build_encoder
+
+
+def _upsample_to(x, h, w, method="nearest"):
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method=method)
+
+
+def _conv_bn_relu(x, filters, kernel, dtype, train, name, dilation=1):
+    y = nn.Conv(filters, (kernel, kernel), padding="SAME",
+                kernel_dilation=(dilation, dilation), use_bias=False,
+                dtype=dtype, param_dtype=jnp.float32, name=f"{name}_conv")(x)
+    y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                     dtype=dtype, param_dtype=jnp.float32,
+                     name=f"{name}_norm")(y)
+    return nn.relu(y)
+
+
+class _SegBase(nn.Module):
+    """Common scaffolding: encoder + float32 logits head contract."""
+
+    encoder_name: str = "resnet34"
+    classes: int = 23
+    in_channels: int = 3
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.encoder = build_encoder(self.encoder_name, self.in_channels,
+                                     self.dtype)
+
+    def encode(self, x, train: bool = False):
+        return self.encoder(x, train=train)
+
+
+class FPN(_SegBase):
+    """Feature Pyramid Network decoder (smp.FPN analogue).
+
+    Laterals (1x1, 256ch) on C2..C5, top-down nearest-add merge,
+    per-level segmentation blocks to 128ch at 1/4 scale, sum, head,
+    upsample x4.
+    """
+
+    pyramid_channels: int = 256
+    segmentation_channels: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        c2, c3, c4, c5 = (f.astype(self.dtype) for f in feats[2:6])
+
+        lat = partial(nn.Conv, features=self.pyramid_channels,
+                      kernel_size=(1, 1), dtype=self.dtype,
+                      param_dtype=jnp.float32)
+        p5 = lat(name="lateral5")(c5)
+        p4 = lat(name="lateral4")(c4) + _upsample_to(p5, *c4.shape[1:3])
+        p3 = lat(name="lateral3")(c3) + _upsample_to(p4, *c3.shape[1:3])
+        p2 = lat(name="lateral2")(c2) + _upsample_to(p3, *c2.shape[1:3])
+
+        th, tw = c2.shape[1], c2.shape[2]   # 1/4 scale
+        merged = 0.0
+        for i, p in enumerate((p5, p4, p3, p2)):
+            s = _conv_bn_relu(p, self.segmentation_channels, 3, self.dtype,
+                              train, name=f"seg{i}")
+            merged = merged + _upsample_to(s, th, tw)
+
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(merged)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
+class PSPNet(_SegBase):
+    """Pyramid Scene Parsing network (smp.PSPNet analogue).
+
+    PSP module over the bottleneck: resize-average pooling at
+    (1, 2, 4, 8) bins -> 1x1 convs -> upsample -> concat -> 3x3 conv ->
+    head -> upsample to input.
+    """
+
+    psp_channels: int = 512
+    bins: Sequence[int] = (1, 2, 4, 8)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        c5 = self.encode(x, train=train)[-1].astype(self.dtype)
+        fh, fw = c5.shape[1], c5.shape[2]
+        branch_ch = self.psp_channels // len(self.bins)
+
+        branches = [c5]
+        for i, b in enumerate(self.bins):
+            pooled = jax.image.resize(c5, (c5.shape[0], b, b, c5.shape[3]),
+                                      method="linear")
+            pooled = _conv_bn_relu(pooled, branch_ch, 1, self.dtype, train,
+                                   name=f"psp{i}")
+            branches.append(_upsample_to(pooled, fh, fw, "bilinear"))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = _conv_bn_relu(y, self.psp_channels, 3, self.dtype, train,
+                          name="bottleneck")
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(y)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
+class LinknetDecoderBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = max(x.shape[-1] // 4, 16)
+        y = _conv_bn_relu(x, mid, 1, self.dtype, train, name="reduce")
+        b, hh, ww, cc = y.shape
+        y = jnp.broadcast_to(y[:, :, None, :, None, :],
+                             (b, hh, 2, ww, 2, cc)).reshape(b, hh * 2, ww * 2, cc)
+        y = _conv_bn_relu(y, mid, 3, self.dtype, train, name="up")
+        return _conv_bn_relu(y, self.out_channels, 1, self.dtype, train,
+                             name="expand")
+
+
+class Linknet(_SegBase):
+    """Linknet (smp.Linknet analogue): decoder blocks ADD encoder skips."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        skips = [f.astype(self.dtype) for f in feats[1:5]]  # /2 /4 /8 /16
+        y = feats[5].astype(self.dtype)                      # /32
+        for i, skip in enumerate(reversed(skips)):           # /16 /8 /4 /2
+            y = LinknetDecoderBlock(skip.shape[-1], dtype=self.dtype,
+                                    name=f"block{i}")(y, train=train)
+            y = y + skip
+        y = LinknetDecoderBlock(32, dtype=self.dtype, name="block4")(
+            y, train=train)                                  # /1
+        logits = nn.Conv(self.classes, (3, 3), padding="SAME",
+                         dtype=self.dtype, param_dtype=jnp.float32,
+                         name="head")(y)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
+class DeepLabV3Plus(_SegBase):
+    """DeepLabV3+ (smp.DeepLabV3Plus analogue).
+
+    ASPP over the /32 bottleneck (1x1, dilated 3x3 at rates (2, 4, 6)
+    appropriate for the small /32 grid, image pooling) -> 1x1 256 ->
+    upsample to /4 -> concat 48ch low-level (C2) -> 3x3 convs -> head.
+    """
+
+    aspp_channels: int = 256
+    atrous_rates: Sequence[int] = (2, 4, 6)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        low = feats[2].astype(self.dtype)        # /4
+        c5 = feats[5].astype(self.dtype)         # /32
+        fh, fw = c5.shape[1], c5.shape[2]
+
+        branches = [_conv_bn_relu(c5, self.aspp_channels, 1, self.dtype,
+                                  train, name="aspp_1x1")]
+        for i, r in enumerate(self.atrous_rates):
+            branches.append(_conv_bn_relu(c5, self.aspp_channels, 3,
+                                          self.dtype, train,
+                                          name=f"aspp_r{r}", dilation=r))
+        pooled = jnp.mean(c5, axis=(1, 2), keepdims=True)
+        pooled = _conv_bn_relu(pooled, self.aspp_channels, 1, self.dtype,
+                               train, name="aspp_pool")
+        branches.append(jnp.broadcast_to(
+            pooled, (c5.shape[0], fh, fw, self.aspp_channels)))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = _conv_bn_relu(y, self.aspp_channels, 1, self.dtype, train,
+                          name="aspp_project")
+        y = _upsample_to(y, low.shape[1], low.shape[2], "bilinear")
+
+        low = _conv_bn_relu(low, 48, 1, self.dtype, train, name="low_project")
+        y = jnp.concatenate([y, low], axis=-1)
+        y = _conv_bn_relu(y, self.aspp_channels, 3, self.dtype, train,
+                          name="refine1")
+        y = _conv_bn_relu(y, self.aspp_channels, 3, self.dtype, train,
+                          name="refine2")
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(y)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)

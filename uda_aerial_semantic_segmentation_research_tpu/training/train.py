@@ -493,7 +493,7 @@ def train_model(epochs: Optional[int] = None, learning_rate: Optional[float] = N
         random_split,
     )
     from uda_aerial_semantic_segmentation_research_tpu.data.loader import DataLoader
-    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet  # noqa: F401
 
     epochs = epochs or Config.NUM_EPOCHS
     learning_rate = learning_rate or Config.LEARNING_RATE
@@ -518,10 +518,15 @@ def train_model(epochs: Optional[int] = None, learning_rate: Optional[float] = N
                               drop_last=False, num_workers=Config.NUM_WORKERS)
     val_loader = DataLoader(val_ds, batch_size=batch_size)
 
-    bundle = create_unet(encoder_name=Config.ENCODER_NAME,
-                         encoder_weights=Config.ENCODER_WEIGHTS,
-                         in_channels=Config.IN_CHANNELS,
-                         classes=Config.NUM_CLASSES)
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_model
+
+    # architecture selected by name, like the reference's
+    # getattr(smp, model_name)(...) (reference train.py:570-576)
+    bundle = create_model(model_name=Config.MODEL_NAME,
+                          encoder_name=Config.ENCODER_NAME,
+                          encoder_weights=Config.ENCODER_WEIGHTS,
+                          in_channels=Config.IN_CHANNELS,
+                          classes=Config.NUM_CLASSES)
     print(f"Model: {Config.MODEL_NAME} ({bundle.param_count():,} params)")
 
     trainer = SegmentationTrainer(bundle, device)
