@@ -122,6 +122,10 @@ ENCODERS = {
                      out_channels=(3, 64, 64, 128, 256, 512)),
     "resnet50": dict(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
                      out_channels=(3, 64, 256, 512, 1024, 2048)),
+    "resnet101": dict(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck,
+                      out_channels=(3, 64, 256, 512, 1024, 2048)),
+    "resnet152": dict(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck,
+                      out_channels=(3, 64, 256, 512, 1024, 2048)),
 }
 
 
