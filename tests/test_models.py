@@ -204,3 +204,25 @@ def test_create_model_unknown_name():
 
     with pytest.raises(ValueError):
         create_model(model_name="SegFormer")
+
+
+def test_fused_decoder_matches_naive(batch):
+    """The phase-decomposed decoder conv1 must equal the naive
+    upsample+concat+conv path with the SAME variables (checkpoints are
+    interchangeable)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models.unet import Unet
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    images, _ = batch
+    x = normalize_images(jnp.asarray(images))
+    fused = Unet(encoder_name="resnet18", classes=CLASSES,
+                 dtype=jnp.float32, fused_decoder=True)
+    naive = Unet(encoder_name="resnet18", classes=CLASSES,
+                 dtype=jnp.float32, fused_decoder=False)
+    variables = fused.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    y_f = fused.apply(variables, x)
+    y_n = naive.apply(variables, x)  # identical param tree by construction
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_n),
+                               atol=2e-4, rtol=1e-4)

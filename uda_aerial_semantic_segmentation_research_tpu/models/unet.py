@@ -28,23 +28,65 @@ def _upsample2x(x):
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _Conv3x3Kernel(nn.Module):
+    """Bare 3x3 HWIO kernel parameter with nn.Conv's layout and init,
+    so the fused decoder's state_dict matches the naive nn.Conv path
+    (``.../conv1/kernel``) exactly."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, self.in_features, self.features), jnp.float32)
+
+
 class DecoderBlock(nn.Module):
-    """Upsample 2x -> concat skip -> (conv3x3 + BN + ReLU) x 2."""
+    """Upsample 2x -> concat skip -> (conv3x3 + BN + ReLU) x 2.
+
+    ``fused`` computes conv1 WITHOUT materializing the
+    4x upsampled/concatenated tensor:
+      conv3x3(concat(up2(x), skip)) == upsample2x_conv3x3(x, W_up)
+                                       + conv3x3(skip, W_skip)
+    where (W_up, W_skip) are channel slices of the SAME conv1 kernel --
+    the phase decomposition is exact (ops/upsample_conv.py) and the
+    parameter tree is identical to the naive path, so checkpoints are
+    interchangeable.
+    """
 
     filters: int
     dtype: Any = jnp.bfloat16
+    fused: bool = True
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
+        from uda_aerial_semantic_segmentation_research_tpu.ops.upsample_conv import (
+            upsample2x_conv3x3,
+        )
+
         conv = partial(nn.Conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
-        x = _upsample2x(x)
-        if skip is not None:
-            x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
-        x = nn.relu(norm(name="norm1")(conv(self.filters, (3, 3), name="conv1")(x)))
+
+        cup = x.shape[-1]
+        cs = 0 if skip is None else skip.shape[-1]
+        if self.fused:
+            w1 = _Conv3x3Kernel(self.filters, cup + cs, name="conv1")()
+            w1 = w1.astype(self.dtype)
+            y = upsample2x_conv3x3(x.astype(self.dtype), w1[:, :, :cup])
+            if skip is not None:
+                y = y + jax.lax.conv_general_dilated(
+                    skip.astype(self.dtype), w1[:, :, cup:], (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = _upsample2x(x)
+            if skip is not None:
+                y = jnp.concatenate([y, skip.astype(self.dtype)], axis=-1)
+            y = conv(self.filters, (3, 3), name="conv1")(y)
+        x = nn.relu(norm(name="norm1")(y))
         x = nn.relu(norm(name="norm2")(conv(self.filters, (3, 3), name="conv2")(x)))
         return x
 
@@ -52,6 +94,7 @@ class DecoderBlock(nn.Module):
 class UnetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
+    fused: bool = False
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -60,8 +103,8 @@ class UnetDecoder(nn.Module):
         skips = features[1:-1][::-1] + [None]   # /16, /8, /4, /2, None
         x = head.astype(self.dtype)
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
-            x = DecoderBlock(ch, dtype=self.dtype, name=f"block{i}")(
-                x, skip, train=train)
+            x = DecoderBlock(ch, dtype=self.dtype, fused=self.fused,
+                             name=f"block{i}")(x, skip, train=train)
         return x
 
 
@@ -74,10 +117,12 @@ class Unet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     activation: Optional[str] = None
     dtype: Any = jnp.bfloat16
+    fused_decoder: bool = False
 
     def setup(self):
         self.encoder = build_encoder(self.encoder_name, self.in_channels, self.dtype)
-        self.decoder = UnetDecoder(self.decoder_channels, self.dtype)
+        self.decoder = UnetDecoder(self.decoder_channels, self.dtype,
+                                   fused=self.fused_decoder)
         self.segmentation_head = nn.Conv(
             self.classes, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=jnp.float32, name="segmentation_head")

@@ -1,0 +1,80 @@
+"""Fused nearest-upsample-2x + 3x3 convolution (exact phase decomposition).
+
+The U-Net decoder's hottest pattern is ``conv3x3(nearest_up2(x))``
+(reference smp decoder, mirrored in models/unet.py).  Computed naively
+it materializes the 4x-larger upsampled tensor and convolves it: at
+512px the last decoder level writes/reads a ~2 GB intermediate and runs
+9 taps over 4x the positions.
+
+Because nearest upsampling duplicates pixels, the composition is
+EXACTLY a set of four 2x2 convolutions on the small input -- one per
+output phase (r, s) in {0,1}^2 -- whose kernels are partial sums of the
+3x3 kernel, interleaved back with a depth-to-space reshape
+(the classic deconvolution transform; see e.g. "A Unified Hardware
+Architecture for Convolutions and Deconvolutions", arXiv:2006.00053).
+16 tap-mults per source position instead of 36, and no upsampled
+intermediate.
+
+``upsample2x_conv3x3(x, kernel)`` == ``conv3x3_same(nearest_up2(x),
+kernel)`` to float tolerance; parity is pinned by tests/test_ops.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _phase_kernels(kernel):
+    """(3, 3, Cin, Cout) -> dict[(r, s)] = (2, 2, Cin, Cout) phase kernels.
+
+    Row grouping (dy -> source row offset a in {0, 1} of the 2-tap):
+      r=0: taps (m-1, m):   a0 = W[0],        a1 = W[1] + W[2]
+      r=1: taps (m, m+1):   a0 = W[0] + W[1], a1 = W[2]
+    and identically for columns.
+    """
+    rows = {
+        0: jnp.stack([kernel[0], kernel[1] + kernel[2]]),           # (2,3,i,o)
+        1: jnp.stack([kernel[0] + kernel[1], kernel[2]]),
+    }
+
+    def cols(a, s):
+        if s == 0:
+            return jnp.stack([a[:, 0], a[:, 1] + a[:, 2]], axis=1)  # (2,2,i,o)
+        return jnp.stack([a[:, 0] + a[:, 1], a[:, 2]], axis=1)
+
+    return {(r, s): cols(rows[r], s) for r in (0, 1) for s in (0, 1)}
+
+
+def upsample2x_conv3x3(x, kernel, preferred_dtype=None):
+    """conv3x3-SAME over the nearest-2x upsampling of ``x``, fused.
+
+    Args:
+        x: (B, H, W, Cin).
+        kernel: (3, 3, Cin, Cout) HWIO (the SAME parameter a plain
+            ``nn.Conv(features, (3, 3))`` would hold).
+
+    Returns: (B, 2H, 2W, Cout), numerically equal to
+        ``lax.conv(nearest_up2(x), kernel, SAME)``.
+    """
+    b, h, w, _ = x.shape
+    cout = kernel.shape[-1]
+    # zero-pad once: covers the (m-1) taps of phase 0 and (m+1) of phase 1
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    phases = _phase_kernels(kernel.astype(x.dtype))
+
+    outs = {}
+    for (r, s), k in phases.items():
+        y = jax.lax.conv_general_dilated(
+            xp, k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=preferred_dtype)
+        # VALID over (H+2) with a 2-tap window -> H+1 outputs; phase 0
+        # starts at padded row 0 (source m-1), phase 1 at row 1 (source m)
+        outs[(r, s)] = y[:, r:r + h, s:s + w]
+
+    # interleave phases: (B, H, 2, W, 2, Cout) -> (B, 2H, 2W, Cout)
+    top = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3)
+    bot = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3)
+    y = jnp.stack([top, bot], axis=2)
+    return y.reshape(b, 2 * h, 2 * w, cout)
