@@ -132,3 +132,47 @@ def test_graft_entry_forward_compiles():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[2].shape[0]
+
+
+def test_trainer_engages_mesh(workspace):
+    """SegmentationTrainer auto-shards when batch divides the device
+    count (the end-to-end multi-chip training path)."""
+    import os
+
+    import jax.numpy as jnp
+
+    from uda_aerial_semantic_segmentation_research_tpu.config import Config
+    from uda_aerial_semantic_segmentation_research_tpu.data.dataset import (
+        DroneDataset,
+        random_split,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.data.loader import (
+        DataLoader,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        SegmentationTrainer,
+    )
+
+    from uda_aerial_semantic_segmentation_research_tpu.data.dataset import (
+        WeightedRandomSampler,
+    )
+
+    Config.LOG_INTERVAL = 1000
+    ds = DroneDataset(
+        images_dir=os.path.join(Config.SAMPLE_DATA_DIR, "original_images"),
+        masks_dir=os.path.join(Config.SAMPLE_DATA_DIR, "label_images_semantic"),
+        verbose=False)
+    train_ds, val_ds = random_split(ds, [4, 2], seed=0)
+    # sample-with-replacement to a batch of 8 = 1 sample per virtual chip
+    sampler = WeightedRandomSampler(np.ones(len(train_ds)), num_samples=8,
+                                    seed=0)
+    loader = DataLoader(train_ds, batch_size=8, sampler=sampler,
+                        drop_last=True)
+    val_loader = DataLoader(val_ds, batch_size=2)
+
+    bundle = create_unet(encoder_name="resnet18", classes=23, image_size=SIZE,
+                         encoder_weights=None, dtype=jnp.float32)
+    trainer = SegmentationTrainer(bundle, "cpu")
+    trainer.train(loader, val_loader, epochs=1, learning_rate=1e-3)
+    assert trainer._mesh is not None, "mesh should have engaged at batch 8"

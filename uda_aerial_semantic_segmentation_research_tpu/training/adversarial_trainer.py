@@ -122,6 +122,8 @@ class AdversarialTrainer(SegmentationTrainer):
             elif tgt_images.shape[0] > b:
                 tgt_images = tgt_images[:b]
 
+            src_images, src_masks, tgt_images = self._place(
+                src_images, src_masks, tgt_images)
             state, metrics = self._adv_step(state, epoch_key,
                                             src_images, src_masks, tgt_images)
             if pending is not None:
@@ -170,6 +172,7 @@ class AdversarialTrainer(SegmentationTrainer):
         state = AdversarialState(
             seg=TrainState.from_bundle(self.model, adam(learning_rate)),
             disc=TrainState.from_bundle(self.discriminator, adam(learning_rate)))
+        state = self._setup_mesh(source_dataloader, state)
 
         best_valid_loss = float("inf")
         patience_counter = 0

@@ -192,6 +192,7 @@ class SegmentationTrainer:
         self.num_classes = getattr(model.module, "classes", Config.NUM_CLASSES)
         self.logger = TensorboardLogger(log_dir=log_dir or Config.LOGS_DIR)
         self.current_epoch = 0
+        self._mesh = None  # set by _setup_mesh when multi-chip engages
         self._train_step = None
         self._eval_step = None
         self._predict_step = step_lib.make_predict_step(model.module)
@@ -207,6 +208,47 @@ class SegmentationTrainer:
         per-batch randomness (an eager split per batch is a separate
         device dispatch -- hundreds of ms on remote runtimes)."""
         return jax.random.fold_in(jax.random.key(Config.SEED), epoch)
+
+    # ------------------------------------------------------------------
+    # multi-chip data parallelism (no reference analogue -- the reference
+    # is single-device; SURVEY.md section 2.2)
+    # ------------------------------------------------------------------
+    def _setup_mesh(self, dataloader, state):
+        """Engage the data mesh when >1 device and the batch divides it.
+
+        State is replicated once; every training batch is then sharded
+        P('data') and the SAME jitted step runs SPMD (gradient psum +
+        cross-replica BatchNorm inserted by the partitioner).
+        """
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
+            default_mesh,
+            replicate,
+        )
+
+        ndev = jax.device_count()
+        bs = getattr(dataloader, "batch_size", None)
+        if ndev > 1 and bs and bs % ndev == 0:
+            self._mesh = default_mesh()
+            print(f"Data-parallel mesh engaged: {ndev} devices, "
+                  f"{bs // ndev} samples/device")
+            return replicate(state, self._mesh)
+        self._mesh = None
+        return state
+
+    def _place(self, *arrays):
+        """Shard a batch over the mesh (pass-through when single device
+        or the trailing batch doesn't divide the mesh)."""
+        if self._mesh is None:
+            return arrays
+        n = self._mesh.devices.size
+        if any(a is not None and a.shape[0] % n for a in arrays):
+            return arrays
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
+            shard_batch,
+        )
+
+        return tuple(shard_batch(a, self._mesh) if a is not None else None
+                     for a in arrays)
 
     def _build_steps(self):
         if self._train_step is None:
@@ -342,8 +384,10 @@ class SegmentationTrainer:
         for batch_idx, (images, masks) in enumerate(pbar):
             timer.items_per_step = images.shape[0]
             global_step = (epoch - 1) * (n_total or 1) + batch_idx
+            d_images, d_masks = self._place(images, masks)
             with timer.step(sync=None):
-                state, metrics = self._train_step(state, epoch_key, images, masks)
+                state, metrics = self._train_step(state, epoch_key,
+                                                  d_images, d_masks)
                 # log LAST step's metrics: fetching them now overlaps the
                 # host round trip with this step's device execution (one
                 # step of lag hides ~40-50 ms/step of dispatch latency on
@@ -441,6 +485,7 @@ class SegmentationTrainer:
         self._lr = float(learning_rate)
         tx = adam(learning_rate)
         state = TrainState.from_bundle(self.model, tx)
+        state = self._setup_mesh(train_dataloader, state)
 
         early_stopping = EarlyStopping(
             patience=patience, mode="max", min_epochs=10,

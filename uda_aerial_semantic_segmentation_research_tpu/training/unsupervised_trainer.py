@@ -162,9 +162,12 @@ class UnsupervisedTrainer(SegmentationTrainer):
         for batch_idx, (tgt_images, _) in enumerate(pbar):
             if sup_iter is not None:
                 sup_images, sup_masks = next(sup_iter)
+                tgt_images, sup_images, sup_masks = self._place(
+                    tgt_images, sup_images, sup_masks)
                 state, metrics = step(state, epoch_key, tgt_images,
                                       jnp.float32(epoch), sup_images, sup_masks)
             else:
+                (tgt_images,) = self._place(tgt_images)
                 state, metrics = step(state, epoch_key, tgt_images,
                                       jnp.float32(epoch))
             if pending is not None:
@@ -235,6 +238,7 @@ class UnsupervisedTrainer(SegmentationTrainer):
             self.patience = patience
         self._lr = float(learning_rate)
         state = self._make_state(learning_rate)
+        state = self._setup_mesh(target_dataloader, state)
 
         for epoch in range(1, epochs + 1):
             self.current_epoch = epoch
