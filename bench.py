@@ -25,7 +25,7 @@ import time
 
 def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
               steps: int = 20, warmup: int = 3, encoder: str = "resnet34",
-              classes: int = 23, smoke: bool = False):
+              classes: int = 23, smoke: bool = False, mode: str = "train"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +46,18 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     n_chips = jax.device_count()
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
                          classes=classes, image_size=tile)
-    step = step_lib.make_supervised_train_step(bundle.module, classes)
+    if mode == "infer":
+        # serving path: normalize + forward + argmax, jitted, no grads
+        predict = step_lib.make_predict_step(bundle.module)
+
+        def infer_step(state, key, images, masks):
+            preds = jnp.argmax(
+                predict(state.params, state.batch_stats, images), -1)
+            return state, {"loss": jnp.mean(preds.astype(jnp.float32))}
+
+        step = infer_step
+    else:
+        step = step_lib.make_supervised_train_step(bundle.module, classes)
 
     rng = np.random.default_rng(0)
     result = None
@@ -91,7 +102,7 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     scale = (tile / 512) ** 2
     per_chip_512 = per_chip * scale
     out = {
-        "metric": "train_tiles_per_sec_per_chip",
+        "metric": f"{mode}_tiles_per_sec_per_chip",
         "value": round(per_chip_512, 2),
         "unit": "512px tiles/s",
         "vs_baseline": round(per_chip_512 / 2000.0, 4),
@@ -112,5 +123,6 @@ if __name__ == "__main__":
     p.add_argument("--smoke", action="store_true", help="tiny shapes, quick run")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--mode", choices=("train", "infer"), default="train")
     a = p.parse_args()
-    run_bench(tile=a.tile, steps=a.steps, smoke=a.smoke)
+    run_bench(tile=a.tile, steps=a.steps, smoke=a.smoke, mode=a.mode)

@@ -33,6 +33,7 @@ class ModelBundle:
         self.module = module
         self.variables = unfreeze(variables)
         self.rng = rng if rng is not None else jax.random.key(0)
+        self._apply_cache: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------
     @classmethod
@@ -63,14 +64,40 @@ class ModelBundle:
         return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(self.params))
 
     # ------------------------------------------------------------------
+    def _jitted(self, mode: str, train: bool, kwargs: Dict[str, Any]):
+        """Cached jit of module.apply per (mode, train, static kwargs).
+
+        The user-facing call surface (predict paths, test-suite
+        forwards) would otherwise run eagerly -- one device dispatch per
+        op, which is pathological on remote runtimes.
+        """
+        key = (mode, train, tuple(sorted(kwargs.items())))
+        fn = self._apply_cache.get(key)
+        if fn is None:
+            if mode == "mutable":
+                def fn(v, x):
+                    out, mut = self.module.apply(
+                        v, x, train=True, mutable=["batch_stats"], **kwargs)
+                    return out, mut["batch_stats"]
+            else:
+                def fn(v, x):
+                    return self.module.apply(v, x, train=train, **kwargs)
+            fn = jax.jit(fn)
+            self._apply_cache[key] = fn
+        return fn
+
     def apply(self, x, train: bool = False, variables=None, **kwargs):
-        """Pure apply.  When ``train``, returns (out, new_batch_stats)."""
+        """Pure jitted apply.  When ``train``, returns (out, new_batch_stats)."""
         v = variables if variables is not None else self.variables
-        if train and "batch_stats" in v:
-            out, mut = self.module.apply(v, x, train=True,
-                                         mutable=["batch_stats"], **kwargs)
-            return out, mut["batch_stats"]
-        return self.module.apply(v, x, train=train, **kwargs)
+        mode = "mutable" if (train and "batch_stats" in v) else "plain"
+        try:
+            return self._jitted(mode, train, kwargs)(v, x)
+        except TypeError:  # unhashable kwarg -> eager fallback
+            if mode == "mutable":
+                out, mut = self.module.apply(v, x, train=True,
+                                             mutable=["batch_stats"], **kwargs)
+                return out, mut["batch_stats"]
+            return self.module.apply(v, x, train=train, **kwargs)
 
     def __call__(self, x, train: bool = False, **kwargs):
         """Stateful convenience call; updates held batch_stats when training."""
