@@ -136,3 +136,25 @@ def test_class_stats_cache(workspace, datasets):
                                        Config.SAMPLE_DATA_DIR, "original_images"),
                                    masks_dir=masks_dir, verbose=False
                                ).sample_weights)
+
+
+def test_abandoned_prefetch_iterator_releases_thread(datasets):
+    """Dropping a prefetching iterator mid-epoch (the cycling target
+    loader pattern) must not leak the producer thread."""
+    import gc
+    import threading
+    import time
+
+    from uda_aerial_semantic_segmentation_research_tpu.data.loader import (
+        DataLoader,
+    )
+
+    src, _ = datasets
+    before = threading.active_count()
+    for _ in range(5):
+        it = DataLoader(src, batch_size=2, num_workers=2).iter_raw()
+        next(it)
+        del it
+        gc.collect()
+    time.sleep(0.5)
+    assert threading.active_count() <= before + 1

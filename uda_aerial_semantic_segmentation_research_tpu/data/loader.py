@@ -109,24 +109,43 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.num_workers + 1)
         _SENTINEL = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone --
+            otherwise an abandoned iterator (e.g. a cycling target loader
+            dropped at epoch end) leaks the producer thread blocked on
+            q.put() plus the batches it holds."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for chunk in batches:
-                    q.put(_stack([fetch(self.dataset, i) for i in chunk]))
-                q.put(_SENTINEL)
+                    if not _put(_stack([fetch(self.dataset, i) for i in chunk])):
+                        return
+                _put(_SENTINEL)
             except BaseException as e:  # surface decode errors to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # runs on normal exhaustion AND GeneratorExit (abandonment)
+            stop.set()
 
     def __iter__(self):
         """Yield batches with the dataset's transform applied (parity path)."""

@@ -209,7 +209,9 @@ def test_model(model_path: str, test_dir: str, output_dir: str,
     n_done = 0
     for start in range(0, len(names), batch_size):
         chunk = names[start:start + batch_size]
-        imgs = np.stack([dataset.load_raw(dataset.images.index(n)) for n in chunk])
+        # names is a prefix slice of dataset.images: index == position
+        imgs = np.stack([dataset.load_raw(start + k)
+                         for k in range(len(chunk))])
         preds = predict_batch(model, imgs)
         for name, img, pred in zip(chunk, imgs, preds):
             stem = Path(name).stem

@@ -76,7 +76,8 @@ class AugmentConfig:
     rotate_limit: float = 45.0
     # photometric
     p_noise: float = 0.2
-    noise_std: Tuple[float, float] = (10.0 / 255.0, 50.0 ** 0.5 / 255.0)
+    # std range = sqrt of albumentations GaussNoise var_limit=(10, 50)
+    noise_std: Tuple[float, float] = (10.0 ** 0.5 / 255.0, 50.0 ** 0.5 / 255.0)
     p_blur: float = 0.2
     blur_size: int = 3
     p_color: float = 0.3          # OneOf {sharpen, brightness/contrast}

@@ -154,6 +154,16 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
     Divergence, documented: the reference's G-step re-run of D(tgt)
     also updates discriminator BatchNorm a second time (train mode);
     here the re-run is eval-mode (stats already updated in step A).
+
+    Reference quirk preserved, documented: because the image-level
+    discriminator sees RAW target images, the generator term
+    ``generator_loss(D(tgt))`` has ZERO gradient w.r.t. the
+    segmentation params -- the reference's scheme
+    (adversarial_trainer.py:105-110) only ever trains the
+    discriminator, and so does this faithful port.  The adversarial
+    path that actually adapts the generator is the feature-level
+    GRL stack (models/uda.py + trainer_phases.phase2_train), where the
+    discriminator input depends on the encoder.
     """
     adv = AdversarialLoss(lambda_adv)
 
