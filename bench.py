@@ -90,8 +90,12 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
             break
         except Exception as e:  # OOM at this batch size -> try smaller
             msg = str(e)
-            if "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower():
-                print(f"# batch {batch} OOM, trying smaller", file=sys.stderr)
+            if ("RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+                    # remote compile helpers surface compile-time OOM as a
+                    # 500 from the compile endpoint
+                    or "remote_compile" in msg):
+                print(f"# batch {batch} failed ({msg[:80]}), trying smaller",
+                      file=sys.stderr)
                 continue
             raise
     if result is None:

@@ -494,9 +494,22 @@ class SegmentationTrainer:
             verbose=True)
 
         self.current_epoch = 0
+        profile_dir = os.environ.get("UDA_TPU_PROFILE")
         for epoch in range(1, epochs + 1):
             self.current_epoch = epoch
-            state, train_loss = self.train_epoch(train_dataloader, state, epoch)
+            if profile_dir and epoch == 2:
+                # trace the first post-compile epoch (epoch 1 includes
+                # compilation; SURVEY.md section 5.1)
+                from uda_aerial_semantic_segmentation_research_tpu.utils.profiling import (
+                    trace,
+                )
+
+                with trace(profile_dir):
+                    state, train_loss = self.train_epoch(
+                        train_dataloader, state, epoch)
+            else:
+                state, train_loss = self.train_epoch(
+                    train_dataloader, state, epoch)
             valid_metrics = self.validate(valid_dataloader, state)
 
             print(f"Train Loss: {train_loss:.4f}")
