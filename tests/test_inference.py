@@ -85,3 +85,24 @@ def test_test_model_cli(workspace, seg_bundle, tmp_path):
     assert len(list((out_dir / "overlays").glob("*.png"))) == 2
     stats = (out_dir / "prediction_stats.txt").read_text()
     assert "Prediction statistics" in stats
+
+
+def test_predict_raster_tiled(workspace, seg_bundle):
+    """Tiled full-raster inference: static-shape tile batches, overlap
+    stitching, output matches the raster size."""
+    from uda_aerial_semantic_segmentation_research_tpu.inference.predict import (
+        predict_batch,
+        predict_raster,
+    )
+
+    raster = RNG.integers(0, 255, (70, 90, 3)).astype(np.uint8)
+    out = predict_raster(seg_bundle, raster, tile=SIZE, overlap=8, batch_size=4)
+    assert out.shape == (70, 90)
+    assert out.dtype == np.int32
+    assert out.min() >= 0 and out.max() < CLASSES
+
+    # a raster exactly one tile big must agree with direct prediction
+    small = RNG.integers(0, 255, (SIZE, SIZE, 3)).astype(np.uint8)
+    direct = predict_batch(seg_bundle, small[None])[0]
+    tiled = predict_raster(seg_bundle, small, tile=SIZE, overlap=0)
+    np.testing.assert_array_equal(tiled, direct)

@@ -113,3 +113,28 @@ def test_cleanup_old_checkpoints(pm):
     pm.cleanup_old_checkpoints()
     names = {f.name for f in d.glob("*.pth")}
     assert names == {"best_model.pth", "latest_model.pth"}
+
+
+def test_resume_restores_phase_and_weights(tmp_path):
+    """PhaseManager.resume rebinds an experiment dir, restores the
+    current phase, and reloads the newest checkpoint into the model."""
+    m1 = FakeModel()
+    pm = PhaseManager(model=m1, device="cpu", checkpoints_dir=str(tmp_path))
+    m1.state = {"w": np.full(3, 7.0, np.float32)}
+    pm.save_checkpoint(FakeTrainer(), {"iou": 0.6, "accuracy": 0.9},
+                       TrainingPhase.SEGMENTATION, is_best=True)
+    pm.transition_to_next_phase()
+    assert pm.get_current_phase() == TrainingPhase.ADVERSARIAL
+
+    m2 = FakeModel()  # fresh model with default weights
+    pm2 = PhaseManager.resume(model=m2, device="cpu",
+                              experiment_dir=str(pm.experiment_dir))
+    assert pm2.get_current_phase() == TrainingPhase.ADVERSARIAL
+    # phase-2 has no checkpoint yet -> falls back to phase-1 best
+    np.testing.assert_array_equal(m2.state["w"], np.full(3, 7.0, np.float32))
+    assert pm2.phases_completed() == ["SEGMENTATION"]
+
+
+def test_resume_missing_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        PhaseManager.resume(model=FakeModel(), experiment_dir=str(tmp_path / "nope"))

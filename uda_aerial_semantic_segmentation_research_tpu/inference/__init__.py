@@ -6,10 +6,11 @@ from uda_aerial_semantic_segmentation_research_tpu.inference.predict import (
     load_class_dict,
     predict_batch,
     predict_mask,
+    predict_raster,
     test_model,
 )
 
 __all__ = [
-    "predict_mask", "predict_batch", "test_model", "create_colored_mask",
+    "predict_mask", "predict_batch", "predict_raster", "test_model", "create_colored_mask",
     "create_overlay", "load_class_dict",
 ]

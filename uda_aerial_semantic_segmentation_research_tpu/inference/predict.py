@@ -164,6 +164,51 @@ def predict_batch(model, images, device=None):
     return np.asarray(jax.device_get(preds))
 
 
+def predict_raster(model, image, tile: int = 512, overlap: int = 64,
+                   batch_size: int = 8) -> np.ndarray:
+    """Full-resolution raster inference by tiling + overlap-mean stitching.
+
+    The reference downscales whole multi-megapixel photos to 256px
+    before predicting (reference target_dataset.py:48); this keeps
+    native resolution: fixed-size tiles feed the jitted forward in
+    static-shape batches, per-tile LOGITS stitch back with overlap
+    averaging, then one argmax (SURVEY.md section 5.7 spatial-scaling
+    analogue).
+
+    ``image``: (H, W, 3) uint8 array or a path.  Returns (H, W) int32.
+    """
+    import cv2
+
+    from uda_aerial_semantic_segmentation_research_tpu.data.tiling import (
+        stitch_tiles,
+        tile_image,
+    )
+
+    if isinstance(image, (str, os.PathLike)):
+        decoded = cv2.imread(str(image))
+        if decoded is None:
+            raise ValueError(f"Failed to load image: {image}")
+        image = cv2.cvtColor(decoded, cv2.COLOR_BGR2RGB)
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+
+    tiles, origins, padded_hw = tile_image(image, tile, overlap)
+    logits_tiles = []
+    for start in range(0, len(tiles), batch_size):
+        chunk = tiles[start:start + batch_size]
+        n = chunk.shape[0]
+        if n < batch_size:  # static batch shape for the jitted forward
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - n, axis=0)])
+        x = normalize_images(jnp.asarray(chunk))
+        logits = np.asarray(jax.device_get(_apply(model, x)))[:n]
+        logits_tiles.append(logits)
+
+    logits_full = stitch_tiles(np.concatenate(logits_tiles), origins,
+                               padded_hw, reduce="mean")
+    return np.argmax(logits_full, axis=-1).astype(np.int32)[:h, :w]
+
+
 def test_model(model_path: str, test_dir: str, output_dir: str,
                model=None, batch_size: Optional[int] = None,
                max_images: Optional[int] = None):

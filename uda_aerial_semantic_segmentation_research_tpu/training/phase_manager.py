@@ -64,6 +64,52 @@ class PhaseManager:
         self._initialize_metadata()
 
     # ------------------------------------------------------------------
+    @classmethod
+    def resume(cls, model, device=None, experiment_dir: str = None,
+               load_best: bool = True) -> "PhaseManager":
+        """Rebind to an existing experiment directory and reload weights.
+
+        Restores ``current_phase`` from training_metadata.json and loads
+        the current phase's best (or latest) checkpoint into ``model``
+        (falling back to the most recent phase that has one).  The
+        reference supports per-phase checkpoint loading but has no
+        resume entry point (SURVEY.md section 5.4); this completes it.
+        """
+        pm = cls.__new__(cls)
+        pm.model = model
+        pm.device = device
+        pm.experiment_dir = Path(experiment_dir)
+        pm.checkpoints_dir = pm.experiment_dir.parent
+        pm.phase_metrics = {}
+        pm.phase_dirs = {
+            TrainingPhase.SEGMENTATION: pm.experiment_dir / "phase1_segmentation",
+            TrainingPhase.ADVERSARIAL: pm.experiment_dir / "phase2_adversarial",
+            TrainingPhase.FINE_TUNING: pm.experiment_dir / "phase3_finetuning",
+        }
+        pm.metadata_path = pm.experiment_dir / "training_metadata.json"
+        if not pm.metadata_path.exists():
+            raise FileNotFoundError(
+                f"no training_metadata.json under {experiment_dir}")
+        md = pm._load_metadata()
+        pm.current_phase = TrainingPhase[md.get("current_phase", "SEGMENTATION")]
+
+        # load the most recent phase that has a checkpoint, newest first
+        order = [TrainingPhase.SEGMENTATION, TrainingPhase.ADVERSARIAL,
+                 TrainingPhase.FINE_TUNING]
+        candidates = [p for p in order if order.index(p)
+                      <= order.index(pm.current_phase)][::-1]
+        for phase in candidates:
+            ckpt = (pm.load_checkpoint(phase, load_best=load_best)
+                    or pm.load_checkpoint(phase, load_best=not load_best))
+            if ckpt is not None:
+                break
+        return pm
+
+    def phases_completed(self):
+        """Names of phases recorded complete in the metadata."""
+        return list(self._load_metadata().get("phases_completed", []))
+
+    # ------------------------------------------------------------------
     def _initialize_metadata(self):
         self._save_metadata({
             "start_time": datetime.datetime.now().isoformat(),

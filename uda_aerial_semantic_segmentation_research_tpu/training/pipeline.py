@@ -66,8 +66,13 @@ def run_pipeline(
     force_transitions: bool = False,
     checkpoints_dir: Optional[str] = None,
     model=None,
+    resume_dir: Optional[str] = None,
 ) -> Dict:
-    """Run supervised -> adversarial -> unsupervised with gated transitions."""
+    """Run supervised -> adversarial -> unsupervised with gated transitions.
+
+    ``resume_dir``: an existing experiment directory -- weights and the
+    current phase are restored and completed phases are skipped.
+    """
     from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
     from uda_aerial_semantic_segmentation_research_tpu.training import (
         AdversarialTrainer,
@@ -88,43 +93,53 @@ def run_pipeline(
         model = create_unet(encoder_name=Config.ENCODER_NAME,
                             encoder_weights=Config.ENCODER_WEIGHTS,
                             classes=Config.NUM_CLASSES)
-    pm = PhaseManager(model=model, device=device,
-                      checkpoints_dir=checkpoints_dir or Config.CHECKPOINTS_DIR)
+    if resume_dir:
+        pm = PhaseManager.resume(model=model, device=device,
+                                 experiment_dir=resume_dir)
+        print(f"Resumed {resume_dir}: phase={pm.get_current_phase().name}, "
+              f"completed={pm.phases_completed()}")
+    else:
+        pm = PhaseManager(model=model, device=device,
+                          checkpoints_dir=checkpoints_dir or Config.CHECKPOINTS_DIR)
     summary: Dict = {"experiment_dir": str(pm.experiment_dir), "phases": {}}
+    adv_trainer = None
 
     # ---- phase 1: supervised segmentation -----------------------------
-    print("\n=== Phase 1: supervised segmentation ===")
-    seg_trainer = SegmentationTrainer(model, device)
-    best1 = seg_trainer.train(train_loader, val_loader, epochs=phase1_epochs,
-                              learning_rate=learning_rate,
-                              patience=Config.PATIENCE)
-    metrics1 = best1 or seg_trainer.validate(val_loader)
-    pm.save_checkpoint(seg_trainer, metrics1, TrainingPhase.SEGMENTATION,
-                       is_best=True)
-    gate1 = pm.can_transition(metrics1)
-    summary["phases"]["segmentation"] = {"metrics": metrics1, "gate": gate1}
-    if not (gate1 or force_transitions):
-        print(f"Phase-1 gate not met ({metrics1}); stopping "
-              "(use force_transitions to continue)")
-        return summary
-    pm.transition_to_next_phase()
+    if pm.get_current_phase() == TrainingPhase.SEGMENTATION:
+        print("\n=== Phase 1: supervised segmentation ===")
+        seg_trainer = SegmentationTrainer(model, device)
+        best1 = seg_trainer.train(train_loader, val_loader,
+                                  epochs=phase1_epochs,
+                                  learning_rate=learning_rate,
+                                  patience=Config.PATIENCE)
+        metrics1 = best1 or seg_trainer.validate(val_loader)
+        pm.save_checkpoint(seg_trainer, metrics1, TrainingPhase.SEGMENTATION,
+                           is_best=True)
+        gate1 = pm.can_transition(metrics1)
+        summary["phases"]["segmentation"] = {"metrics": metrics1, "gate": gate1}
+        if not (gate1 or force_transitions):
+            print(f"Phase-1 gate not met ({metrics1}); stopping "
+                  "(use force_transitions to continue)")
+            return summary
+        pm.transition_to_next_phase()
 
     # ---- phase 2: adversarial domain adaptation ------------------------
-    print("\n=== Phase 2: adversarial domain adaptation ===")
-    adv_trainer = AdversarialTrainer(model, device, lambda_adv=lambda_adv)
-    adv_trainer.train(train_loader, target_loader, val_loader,
-                      epochs=phase2_epochs, learning_rate=learning_rate,
-                      patience=Config.PATIENCE)
-    _, val2 = adv_trainer.validate(val_loader)
-    metrics2 = {**val2, **adv_trainer.domain_metrics.get_metrics()}
-    pm.save_checkpoint(adv_trainer, metrics2, TrainingPhase.ADVERSARIAL,
-                       is_best=True)
-    gate2 = pm.can_transition(metrics2)
-    summary["phases"]["adversarial"] = {"metrics": metrics2, "gate": gate2}
-    if not (gate2 or force_transitions):
-        print(f"Phase-2 gate not met ({metrics2}); stopping")
-        return summary
-    pm.transition_to_next_phase()
+    if pm.get_current_phase() == TrainingPhase.ADVERSARIAL:
+        print("\n=== Phase 2: adversarial domain adaptation ===")
+        adv_trainer = AdversarialTrainer(model, device, lambda_adv=lambda_adv)
+        adv_trainer.train(train_loader, target_loader, val_loader,
+                          epochs=phase2_epochs, learning_rate=learning_rate,
+                          patience=Config.PATIENCE)
+        _, val2 = adv_trainer.validate(val_loader)
+        metrics2 = {**val2, **adv_trainer.domain_metrics.get_metrics()}
+        pm.save_checkpoint(adv_trainer, metrics2, TrainingPhase.ADVERSARIAL,
+                           is_best=True)
+        gate2 = pm.can_transition(metrics2)
+        summary["phases"]["adversarial"] = {"metrics": metrics2, "gate": gate2}
+        if not (gate2 or force_transitions):
+            print(f"Phase-2 gate not met ({metrics2}); stopping")
+            return summary
+        pm.transition_to_next_phase()
 
     # ---- phase 3: unsupervised fine-tuning ------------------------------
     print("\n=== Phase 3: unsupervised fine-tuning ===")
@@ -135,7 +150,9 @@ def run_pipeline(
     # carry the phase-2 discriminator into fine-tuning (the reference
     # double-wrap quirk silently dropped it, SURVEY.md section 7)
     unsup_trainer = UnsupervisedTrainer(
-        DomainAdaptationModel(model, adv_trainer.discriminator), device)
+        DomainAdaptationModel(
+            model, adv_trainer.discriminator if adv_trainer else None),
+        device)
     best_iou = unsup_trainer.train(target_loader, val_loader,
                                    epochs=phase3_epochs,
                                    learning_rate=learning_rate * 0.1,
@@ -163,8 +180,10 @@ if __name__ == "__main__":
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lambda-adv", type=float, default=0.001)
     p.add_argument("--force-transitions", action="store_true")
+    p.add_argument("--resume", default=None, metavar="EXPERIMENT_DIR",
+                   help="resume an existing experiment (skips completed phases)")
     a = p.parse_args()
     run_pipeline(phase1_epochs=a.phase1_epochs, phase2_epochs=a.phase2_epochs,
                  phase3_epochs=a.phase3_epochs, learning_rate=a.learning_rate,
                  batch_size=a.batch_size, lambda_adv=a.lambda_adv,
-                 force_transitions=a.force_transitions)
+                 force_transitions=a.force_transitions, resume_dir=a.resume)
