@@ -226,3 +226,25 @@ def test_fused_decoder_matches_naive(batch):
     y_n = naive.apply(variables, x)  # identical param tree by construction
     np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_n),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_mobilenet_v2_encoder(batch):
+    """MobileNetV2 encoder: smp-style 6-level pyramid with the
+    (3, 16, 24, 32, 96, 1280) channel signature."""
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    images, _ = batch
+    bundle = create_unet(encoder_name="mobilenet_v2", classes=CLASSES,
+                         image_size=SIZE, encoder_weights=None,
+                         dtype=jnp.float32)
+    logits = bundle(normalize_images(jnp.asarray(images)))
+    assert logits.shape == (BATCH, SIZE, SIZE, CLASSES)
+    feats = bundle.module.apply(bundle.variables,
+                                jnp.asarray(images, jnp.float32),
+                                train=False, method=bundle.module.encode)
+    assert [f.shape[-1] for f in feats] == [3, 16, 24, 32, 96, 1280]
+    for i, f in enumerate(feats):
+        assert f.shape[1] == SIZE // (2 ** i)

@@ -115,6 +115,70 @@ class ResNetEncoder(nn.Module):
         return features
 
 
+class InvertedResidual(nn.Module):
+    """MobileNetV2 inverted residual: 1x1 expand -> 3x3 depthwise -> 1x1
+    project, residual when stride 1 and shapes match."""
+
+    filters: int
+    strides: int
+    expand: int
+    conv: ModuleDef
+    norm: ModuleDef
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        y = x
+        if self.expand != 1:
+            y = nn.relu6(self.norm()(self.conv(cin * self.expand, (1, 1))(y)))
+        y = self.conv(y.shape[-1], (3, 3), (self.strides, self.strides),
+                      feature_group_count=y.shape[-1])(y)
+        y = nn.relu6(self.norm()(y))
+        y = self.norm()(self.conv(self.filters, (1, 1))(y))
+        if self.strides == 1 and cin == self.filters:
+            y = y + x
+        return y
+
+
+class MobileNetV2Encoder(nn.Module):
+    """MobileNetV2 backbone with the smp-style 6-level pyramid
+    (out_channels (3, 16, 24, 32, 96, 1280), matching smp's
+    mobilenet_v2 encoder signature)."""
+
+    in_channels: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, padding="SAME",
+                       dtype=self.dtype, param_dtype=jnp.float32)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5,
+                       dtype=self.dtype, param_dtype=jnp.float32)
+        block = partial(InvertedResidual, conv=conv, norm=norm)
+
+        features = [x]
+        y = nn.relu6(norm(name="stem_norm")(
+            conv(32, (3, 3), (2, 2), name="stem_conv")(x.astype(self.dtype))))
+        y = block(filters=16, strides=1, expand=1, name="ir0")(y)
+        features.append(y)                                   # /2, 16ch
+
+        # (expand, filters, repeats, first stride) per MobileNetV2 stage
+        stages = [(6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                  (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+        marks = {0: 2, 1: 3, 3: 4}  # stage idx -> pyramid level after it
+        for si, (t, c, n, s) in enumerate(stages):
+            for bi in range(n):
+                y = block(filters=c, strides=s if bi == 0 else 1, expand=t,
+                          name=f"stage{si}_block{bi}")(y)
+            if si in marks:
+                features.append(y)                           # /4, /8, /16
+        y = nn.relu6(norm(name="head_norm")(
+            conv(1280, (1, 1), name="head_conv")(y)))
+        features.append(y)                                   # /32, 1280ch
+        return features
+
+
 ENCODERS = {
     "resnet18": dict(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock,
                      out_channels=(3, 64, 64, 128, 256, 512)),
@@ -126,6 +190,8 @@ ENCODERS = {
                       out_channels=(3, 64, 256, 512, 1024, 2048)),
     "resnet152": dict(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck,
                       out_channels=(3, 64, 256, 512, 1024, 2048)),
+    "mobilenet_v2": dict(stage_sizes=None, block_cls=InvertedResidual,
+                         out_channels=(3, 16, 24, 32, 96, 1280)),
 }
 
 
@@ -138,6 +204,8 @@ def build_encoder(encoder_name: str, in_channels: int = 3,
     if encoder_name not in ENCODERS:
         raise ValueError(
             f"Unknown encoder '{encoder_name}'; available: {sorted(ENCODERS)}")
+    if encoder_name == "mobilenet_v2":
+        return MobileNetV2Encoder(in_channels=in_channels, dtype=dtype)
     spec = ENCODERS[encoder_name]
     return ResNetEncoder(stage_sizes=spec["stage_sizes"],
                          block_cls=spec["block_cls"],
