@@ -172,6 +172,44 @@ class Linknet(_SegBase):
         return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
 
 
+class UnetPlusPlus(_SegBase):
+    """UNet++ (smp.UnetPlusPlus analogue): nested dense decoder.
+
+    Node X[i, j] (row i = pyramid level /2^(i+1), column j = decoder
+    depth) convolves the concat of all same-row predecessors X[i, 0..j-1]
+    with the upsampled X[i+1, j-1]; the output head reads X[0, 4] at /2
+    and upsamples to input resolution.
+    """
+
+    row_channels: Sequence[int] = (32, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        rows = 5
+        nodes = {(i, 0): feats[i + 1].astype(self.dtype) for i in range(rows)}
+
+        for j in range(1, rows):
+            for i in range(rows - j):
+                up = _upsample_to(nodes[(i + 1, j - 1)],
+                                  nodes[(i, 0)].shape[1],
+                                  nodes[(i, 0)].shape[2])
+                cat = jnp.concatenate(
+                    [nodes[(i, k)] for k in range(j)] + [up], axis=-1)
+                ch = self.row_channels[min(i, len(self.row_channels) - 1)]
+                y = _conv_bn_relu(cat, ch, 3, self.dtype, train,
+                                  name=f"x{i}_{j}a")
+                y = _conv_bn_relu(y, ch, 3, self.dtype, train,
+                                  name=f"x{i}_{j}b")
+                nodes[(i, j)] = y
+
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(
+            nodes[(0, rows - 1)])
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
 class DeepLabV3Plus(_SegBase):
     """DeepLabV3+ (smp.DeepLabV3Plus analogue).
 
