@@ -127,6 +127,14 @@ int decode_jpeg_raw(const char* path, std::vector<uint8_t>* pixels,
     }
 
     jpeg_start_decompress(&cinfo);
+    if (cinfo.output_components != 3) {
+        // out_color_space=JCS_RGB forces 3 components; defensive check
+        // must run while the decompress object is still alive.
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        fclose(f);
+        return 3;
+    }
     *h = cinfo.output_height;
     *w = cinfo.output_width;
     const int stride = cinfo.output_width * cinfo.output_components;
@@ -139,7 +147,6 @@ int decode_jpeg_raw(const char* path, std::vector<uint8_t>* pixels,
     jpeg_finish_decompress(&cinfo);
     jpeg_destroy_decompress(&cinfo);
     fclose(f);
-    if (cinfo.output_components != 3) return 3;
     return 0;
 }
 

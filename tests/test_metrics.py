@@ -104,3 +104,32 @@ def test_domain_metrics_feature_alignment():
     got = dm.get_confusion_metrics()
     assert abs(got["feature_alignment"] - 1.0) < 1e-5
     assert "domain_entropy" in got
+
+
+def test_confusion_matrix_exact_beyond_f32_precision():
+    """A 2^25-pixel single-class batch must count exactly: 33,554,432
+    exceeds 2^24, where a pure-f32 accumulation rounds (ADVICE round 1).
+    Matches numpy bincount semantics exactly."""
+    import jax.numpy as jnp
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.metrics import (
+        confusion_matrix,
+    )
+
+    n = 1 << 25
+    pred = jnp.zeros((n,), jnp.int32)
+    true = jnp.zeros((n,), jnp.int32)
+    hist = np.asarray(confusion_matrix(pred, true, 2))
+    assert hist.dtype == np.int32
+    assert hist[0, 0] == n          # exact, not 2^24-rounded
+    assert hist.sum() == n
+
+    # non-chunk-aligned size with mixed classes still matches bincount
+    rng = np.random.default_rng(0)
+    m = (1 << 23) + 12345
+    p = rng.integers(0, 3, m).astype(np.int32)
+    t = rng.integers(0, 3, m).astype(np.int32)
+    hist2 = np.asarray(confusion_matrix(jnp.asarray(p), jnp.asarray(t), 3))
+    expected = np.zeros((3, 3), np.int64)
+    np.add.at(expected, (t, p), 1)
+    np.testing.assert_array_equal(hist2, expected)

@@ -109,6 +109,7 @@ def test_data_parallel_matches_single_device(seg_bundle):
                                    atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     """The driver's multichip dry run must pass on the virtual mesh."""
     import sys
@@ -118,6 +119,29 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(N_DEV)
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_survives_broken_default_backend():
+    """Regression for MULTICHIP_r01 ok:false: the dry run must never
+    dispatch on the default backend.  Run it in a subprocess whose
+    default platform (tpu) is deliberately absent -- jax.devices()
+    raises, and every computation must land on the CPU fallback mesh."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # drop any sitecustomize backend injection
+    env["JAX_PLATFORMS"] = "tpu"  # no TPU plugin here: backend init raises
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    proc = subprocess.run(
+        [sys.executable, str(repo / "__graft_entry__.py"), "8"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=repo)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "OK" in proc.stdout
 
 
 def test_graft_entry_forward_compiles():
@@ -134,6 +158,7 @@ def test_graft_entry_forward_compiles():
     assert out.shape[0] == args[2].shape[0]
 
 
+@pytest.mark.slow
 def test_trainer_engages_mesh(workspace):
     """SegmentationTrainer auto-shards when batch divides the device
     count (the end-to-end multi-chip training path)."""

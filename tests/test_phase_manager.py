@@ -138,3 +138,37 @@ def test_resume_restores_phase_and_weights(tmp_path):
 def test_resume_missing_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         PhaseManager.resume(model=FakeModel(), experiment_dir=str(tmp_path / "nope"))
+
+
+def test_resume_restores_discriminator_state(tmp_path):
+    """Phase-2/3 resume must restore the saved discriminator, not leave
+    the adversary to restart from scratch (ADVICE round 1; the
+    reference shares this hole, src/models/phase_manager.py:115-151)."""
+    m1 = FakeModel()
+    pm = PhaseManager(model=m1, device="cpu", checkpoints_dir=str(tmp_path))
+    pm.transition_to_next_phase()  # -> ADVERSARIAL
+
+    trainer = FakeTrainer()
+    trainer.discriminator = FakeModel()
+    trainer.discriminator.state = {"w": np.full(3, 5.0, np.float32)}
+    pm.save_checkpoint(trainer, {"iou": 0.5}, TrainingPhase.ADVERSARIAL,
+                       is_best=True)
+
+    pm2 = PhaseManager.resume(model=FakeModel(), device="cpu",
+                              experiment_dir=str(pm.experiment_dir))
+    assert pm2.last_checkpoint is not None
+    assert "discriminator_state_dict" in pm2.last_checkpoint
+
+    fresh_disc = FakeModel()
+    assert pm2.load_discriminator_state(fresh_disc)
+    np.testing.assert_array_equal(fresh_disc.state["w"],
+                                  np.full(3, 5.0, np.float32))
+
+    # a phase-1-only experiment has no discriminator to restore
+    m3 = FakeModel()
+    pm3 = PhaseManager(model=m3, device="cpu", checkpoints_dir=str(tmp_path))
+    pm3.save_checkpoint(FakeTrainer(), {}, TrainingPhase.SEGMENTATION,
+                        is_best=True)
+    pm4 = PhaseManager.resume(model=FakeModel(), device="cpu",
+                              experiment_dir=str(pm3.experiment_dir))
+    assert not pm4.load_discriminator_state(FakeModel())

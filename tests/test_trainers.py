@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from tests.conftest import BATCH, CLASSES, SIZE
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def loaders(workspace):

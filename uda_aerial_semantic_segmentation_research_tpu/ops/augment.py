@@ -55,8 +55,12 @@ import numpy as np
 
 from uda_aerial_semantic_segmentation_research_tpu.config import Config
 
-IMAGENET_MEAN = jnp.asarray(Config.NORMALIZE_MEAN, dtype=jnp.float32)
-IMAGENET_STD = jnp.asarray(Config.NORMALIZE_STD, dtype=jnp.float32)
+# numpy (not jnp) on purpose: a module-level jnp constant dispatches onto
+# the default backend at import time — which breaks importing the package
+# when that backend is unavailable (e.g. the multichip CPU dry run under a
+# broken TPU runtime) and costs a remote-tunnel fetch per compile on axon.
+IMAGENET_MEAN = np.asarray(Config.NORMALIZE_MEAN, dtype=np.float32)
+IMAGENET_STD = np.asarray(Config.NORMALIZE_STD, dtype=np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +88,9 @@ class AugmentConfig:
     brightness_limit: float = 0.2
     contrast_limit: float = 0.2
     p_hsv: float = 0.3
-    hue_shift: float = 20.0 / 360.0
+    # albumentations HueSaturationValue(hue_shift_limit=20) shifts H on
+    # OpenCV's [0,180) uint8 hue scale, i.e. 20/180 of the hue circle.
+    hue_shift: float = 20.0 / 180.0
     sat_shift: float = 30.0 / 255.0
     val_shift: float = 20.0 / 255.0
     # distortions: OneOf {optical, grid, elastic}
@@ -112,7 +118,7 @@ STRONG = AugmentConfig(
     p_noise=0.4, noise_std=(20.0 ** 0.5 / 255.0, 80.0 ** 0.5 / 255.0),
     p_blur=0.4, blur_size=5,
     p_color=0.5, brightness_limit=0.3, contrast_limit=0.3,
-    p_hsv=0.4, hue_shift=20.0 / 360.0, sat_shift=30.0 / 255.0,
+    p_hsv=0.4, hue_shift=20.0 / 180.0, sat_shift=30.0 / 255.0,
     val_shift=20.0 / 255.0,
     p_distort=0.3, optical_limit=0.08, grid_limit=0.4, elastic_alpha=1.5,
 )
@@ -128,12 +134,12 @@ NONE = AugmentConfig(
 # geometric: fused dihedral + shift-scale-rotate warp
 # ---------------------------------------------------------------------------
 # Forward 2x2 matrices of the dihedral pieces on centered (x, y) coords.
-_ROT90 = jnp.asarray([[[1, 0], [0, 1]], [[0, -1], [1, 0]],
-                      [[-1, 0], [0, -1]], [[0, 1], [-1, 0]]], jnp.float32)
+_ROT90 = np.asarray([[[1, 0], [0, 1]], [[0, -1], [1, 0]],
+                     [[-1, 0], [0, -1]], [[0, 1], [-1, 0]]], np.float32)
 # flip codes: 0 = none, 1 = horizontal (x), 2 = vertical (y), 3 = both
-_FLIP = jnp.asarray([[[1, 0], [0, 1]], [[-1, 0], [0, 1]],
-                     [[1, 0], [0, -1]], [[-1, 0], [0, -1]]], jnp.float32)
-_TRANSPOSE = jnp.asarray([[[1, 0], [0, 1]], [[0, 1], [1, 0]]], jnp.float32)
+_FLIP = np.asarray([[[1, 0], [0, 1]], [[-1, 0], [0, 1]],
+                    [[1, 0], [0, -1]], [[-1, 0], [0, -1]]], np.float32)
+_TRANSPOSE = np.asarray([[[1, 0], [0, 1]], [[0, 1], [1, 0]]], np.float32)
 
 
 def _reflect_index(idx, n):
@@ -163,7 +169,9 @@ def _sample_dihedral(key, n: int, cfg: AugmentConfig):
                       jax.random.randint(k[3], (n,), 0, 3) + 1, 0)
     tcode = (u(k[4]) < cfg.p_transpose).astype(jnp.int32)
     m = jnp.einsum("nij,njk,nkl->nil",
-                   _TRANSPOSE[tcode], _FLIP[fcode], _ROT90[kk_rot])
+                   jnp.asarray(_TRANSPOSE)[tcode],
+                   jnp.asarray(_FLIP)[fcode],
+                   jnp.asarray(_ROT90)[kk_rot])
 
     a = m[:, 0, 0] == 0                                   # transpose part
     b = jnp.where(a, m[:, 0, 1] < 0, m[:, 0, 0] < 0)      # flip x (width)

@@ -32,6 +32,21 @@ import numpy as np
 # ---------------------------------------------------------------------------
 # device-side primitives
 # ---------------------------------------------------------------------------
+# largest pixel count whose one-hot contraction is integer-exact in the
+# f32 MXU accumulator: partial sums are monotone integers <= 2^23 < 2^24
+_EXACT_CHUNK = 1 << 23
+
+
+def _hist_chunk(true, pred, num_classes: int):
+    """Exact (C, C) histogram of one <=2^23-pixel chunk via MXU matmul."""
+    a = jax.nn.one_hot(true, num_classes,
+                       dtype=jnp.bfloat16)          # invalid rows -> all-zero
+    b = jax.nn.one_hot(pred, num_classes, dtype=jnp.bfloat16)
+    hist = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return hist.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("num_classes",))
 def confusion_matrix(pred, true, num_classes: int, ignore_index: Optional[int] = None):
     """(num_classes, num_classes) histogram; rows=true, cols=pred (int32).
@@ -42,18 +57,38 @@ def confusion_matrix(pred, true, num_classes: int, ignore_index: Optional[int] =
     scatter-add behind bincount serializes on TPU, while the (C, N) x
     (N, C) contraction rides the MXU.  Elementwise-additive across
     replicas, so distributed eval reduces with one ``psum``.
+
+    Counts are EXACT at any batch size: inputs above 2^23 pixels are
+    chunked so no f32 partial sum can exceed 2^24 (where float32 loses
+    integer exactness), and chunk histograms accumulate in int32.  At
+    the headline bench shape (B=128 @ 512px = 33.5M pixels) a dominant-
+    class cell overflows the single-matmul path's exactness.
     """
     pred = pred.reshape(-1).astype(jnp.int32)
     true = true.reshape(-1).astype(jnp.int32)
     mask = (true >= 0) & (true < num_classes)
     if ignore_index is not None:
         mask = mask & (true != ignore_index)
-    a = jax.nn.one_hot(jnp.where(mask, true, num_classes), num_classes,
-                       dtype=jnp.bfloat16)          # invalid rows -> all-zero
-    b = jax.nn.one_hot(pred, num_classes, dtype=jnp.bfloat16)
-    hist = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    return hist.astype(jnp.int32)
+    true = jnp.where(mask, true, num_classes)       # one_hot zeroes the row
+
+    n = true.shape[0]
+    if n <= _EXACT_CHUNK:
+        return _hist_chunk(true, pred, num_classes)
+
+    pad = (-n) % _EXACT_CHUNK
+    # padded tail: true=num_classes gives an all-zero one-hot row
+    true = jnp.pad(true, (0, pad), constant_values=num_classes)
+    pred = jnp.pad(pred, (0, pad))
+    true = true.reshape(-1, _EXACT_CHUNK)
+    pred = pred.reshape(-1, _EXACT_CHUNK)
+
+    def body(acc, xs):
+        t, p = xs
+        return acc + _hist_chunk(t, p, num_classes), None
+
+    hist, _ = jax.lax.scan(
+        body, jnp.zeros((num_classes, num_classes), jnp.int32), (true, pred))
+    return hist
 
 
 def iou_from_hist(hist):

@@ -16,7 +16,7 @@ Architecture for Convolutions and Deconvolutions", arXiv:2006.00053).
 intermediate.
 
 ``upsample2x_conv3x3(x, kernel)`` == ``conv3x3_same(nearest_up2(x),
-kernel)`` to float tolerance; parity is pinned by tests/test_ops.py.
+kernel)`` to float tolerance; parity is pinned by tests/test_models.py (test_fused_decoder_matches_naive).
 """
 
 from __future__ import annotations

@@ -49,6 +49,7 @@ class PhaseManager:
         self.checkpoints_dir = Path(checkpoints_dir)
         self.current_phase = TrainingPhase.SEGMENTATION
         self.phase_metrics: Dict[str, Any] = {}
+        self.last_checkpoint: Optional[Dict[str, Any]] = None
 
         timestamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
         self.experiment_dir = self.checkpoints_dir / timestamp
@@ -74,6 +75,13 @@ class PhaseManager:
         (falling back to the most recent phase that has one).  The
         reference supports per-phase checkpoint loading but has no
         resume entry point (SURVEY.md section 5.4); this completes it.
+
+        Phase-2/3 checkpoints also carry ``discriminator_state_dict``
+        (reference src/models/phase_manager.py:102-104); the loaded
+        checkpoint is kept on ``self.last_checkpoint`` so callers can
+        restore the discriminator too (see
+        ``load_discriminator_state``) -- resuming must not restart the
+        adversary from scratch.
         """
         pm = cls.__new__(cls)
         pm.model = model
@@ -81,6 +89,7 @@ class PhaseManager:
         pm.experiment_dir = Path(experiment_dir)
         pm.checkpoints_dir = pm.experiment_dir.parent
         pm.phase_metrics = {}
+        pm.last_checkpoint = None
         pm.phase_dirs = {
             TrainingPhase.SEGMENTATION: pm.experiment_dir / "phase1_segmentation",
             TrainingPhase.ADVERSARIAL: pm.experiment_dir / "phase2_adversarial",
@@ -163,6 +172,7 @@ class PhaseManager:
 
         checkpoint = load_checkpoint(path)
         self.model.load_state_dict(checkpoint["model_state_dict"])
+        self.last_checkpoint = checkpoint
 
         metadata = self._load_metadata()
         metadata["last_loaded_checkpoint"] = {
@@ -172,6 +182,20 @@ class PhaseManager:
         }
         self._save_metadata(metadata)
         return checkpoint
+
+    def load_discriminator_state(self, discriminator) -> bool:
+        """Restore the discriminator from the last loaded checkpoint.
+
+        Returns True when a ``discriminator_state_dict`` was present and
+        loaded.  Completes the resume path: the reference saves the
+        discriminator for phases 2/3 but its loader restores only the
+        model (reference src/models/phase_manager.py:115-151, same hole).
+        """
+        state = (self.last_checkpoint or {}).get("discriminator_state_dict")
+        if state is None or discriminator is None:
+            return False
+        discriminator.load_state_dict(state)
+        return True
 
     # ------------------------------------------------------------------
     def can_transition(self, metrics: Dict[str, float]) -> bool:

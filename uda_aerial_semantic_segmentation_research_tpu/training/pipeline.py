@@ -93,11 +93,17 @@ def run_pipeline(
         model = create_unet(encoder_name=Config.ENCODER_NAME,
                             encoder_weights=Config.ENCODER_WEIGHTS,
                             classes=Config.NUM_CLASSES)
+    resume_disc_state = None
     if resume_dir:
         pm = PhaseManager.resume(model=model, device=device,
                                  experiment_dir=resume_dir)
+        # phase-2/3 checkpoints carry the trained discriminator; a resume
+        # must not restart the adversary from scratch (ADVICE round 1)
+        resume_disc_state = (pm.last_checkpoint or {}).get(
+            "discriminator_state_dict")
         print(f"Resumed {resume_dir}: phase={pm.get_current_phase().name}, "
-              f"completed={pm.phases_completed()}")
+              f"completed={pm.phases_completed()}, "
+              f"discriminator={'restored' if resume_disc_state else 'fresh'}")
     else:
         pm = PhaseManager(model=model, device=device,
                           checkpoints_dir=checkpoints_dir or Config.CHECKPOINTS_DIR)
@@ -127,6 +133,8 @@ def run_pipeline(
     if pm.get_current_phase() == TrainingPhase.ADVERSARIAL:
         print("\n=== Phase 2: adversarial domain adaptation ===")
         adv_trainer = AdversarialTrainer(model, device, lambda_adv=lambda_adv)
+        if resume_disc_state is not None:
+            adv_trainer.discriminator.load_state_dict(resume_disc_state)
         adv_trainer.train(train_loader, target_loader, val_loader,
                           epochs=phase2_epochs, learning_rate=learning_rate,
                           patience=Config.PATIENCE)
@@ -148,11 +156,19 @@ def run_pipeline(
     )
 
     # carry the phase-2 discriminator into fine-tuning (the reference
-    # double-wrap quirk silently dropped it, SURVEY.md section 7)
+    # double-wrap quirk silently dropped it, SURVEY.md section 7);
+    # on a phase-3 resume, rebuild it from the saved state instead
+    discriminator = adv_trainer.discriminator if adv_trainer else None
+    if discriminator is None and resume_disc_state is not None:
+        from uda_aerial_semantic_segmentation_research_tpu.models import (
+            create_discriminator,
+        )
+
+        discriminator = create_discriminator(input_channels=3,
+                                             image_size=Config.IMAGE_SIZE)
+        discriminator.load_state_dict(resume_disc_state)
     unsup_trainer = UnsupervisedTrainer(
-        DomainAdaptationModel(
-            model, adv_trainer.discriminator if adv_trainer else None),
-        device)
+        DomainAdaptationModel(model, discriminator), device)
     best_iou = unsup_trainer.train(target_loader, val_loader,
                                    epochs=phase3_epochs,
                                    learning_rate=learning_rate * 0.1,
