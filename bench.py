@@ -61,6 +61,7 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
 
     rng = np.random.default_rng(0)
     result = None
+    flops_per_step = None
     for batch in batch_candidates:
         try:
             state = TrainState.from_bundle(bundle, adam(1e-4))
@@ -76,6 +77,14 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
             # fetch a scalar: block_until_ready returns early on remote
             # runtimes; a host fetch of the chained loss is the honest sync
             float(metrics["loss"])
+
+            # compiler FLOP count for the MFU figure (AOT, no execution)
+            try:
+                ca = step.lower(state, key, images, masks).compile(
+                ).cost_analysis()
+                flops_per_step = float((ca or {}).get("flops", 0.0)) or None
+            except Exception:
+                flops_per_step = None
 
             t0 = time.perf_counter()
             for i in range(steps):
@@ -118,6 +127,15 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         "encoder": encoder,
         "smoke": smoke,
     }
+    # MFU against the v5e bf16 peak (197 TFLOP/s/chip), from the
+    # compiler's own FLOP count.  The physical single-chip ceiling for
+    # this step is ~1,000 tiles/s at 100% MFU (see BASELINE.md roofline);
+    # the 2,000 north-star in vs_baseline is aspirational beyond it.
+    if flops_per_step and jax.default_backend() == "tpu":
+        peak = 197e12 * n_chips
+        mfu = (flops_per_step / (result["step_ms"] / 1e3)) / peak
+        out["mfu"] = round(mfu, 4)
+        out["tflops_per_step"] = round(flops_per_step / 1e12, 2)
     print(json.dumps(out))
     return out
 

@@ -1,0 +1,88 @@
+"""ImageNet-converter NUMERICAL parity harness.
+
+Builds torchvision-structured ResNets with random weights + non-trivial
+BN statistics (tests/torch_resnet_ref.py), converts their state_dicts
+with ``models/pretrained.convert_torch_resnet``, loads them into the
+Flax encoders, and diffs the full 6-level feature pyramid numerically.
+This proves the converter + encoder architecture reproduce torchvision
+exactly, so a real ImageNet checkpoint drop-in
+(tools/convert_imagenet.py) inherits parity
+(reference src/test_system.py:90-95 ``encoder_weights='imagenet'``).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+torch = pytest.importorskip("torch")
+
+from uda_aerial_semantic_segmentation_research_tpu.models.pretrained import (  # noqa: E402
+    convert_torch_resnet,
+)
+from uda_aerial_semantic_segmentation_research_tpu.models.resnet import (  # noqa: E402
+    build_encoder,
+)
+
+from tests.torch_resnet_ref import random_torch_encoder  # noqa: E402
+
+S = 64  # even size exercises the stride-2 padding alignment
+
+
+def _flat_to_variables(flat, variables):
+    """Merge converter output (flat '/'-keyed) into encoder variables."""
+    params = dict(traverse_util.flatten_dict(variables["params"], sep="/"))
+    stats = dict(traverse_util.flatten_dict(variables["batch_stats"], sep="/"))
+    hits = 0
+    for k, v in flat.items():
+        if k.startswith("batch_stats::"):
+            kk = k[len("batch_stats::"):]
+            assert kk in stats, f"converted key {kk} missing from batch_stats"
+            stats[kk] = jnp.asarray(v)
+        else:
+            assert k in params, f"converted key {k} missing from params"
+            assert params[k].shape == v.shape, (k, params[k].shape, v.shape)
+            params[k] = jnp.asarray(v)
+        hits += 1
+    # every own param/stat must have been covered by the converter
+    assert hits == len(params) + len(stats), (
+        f"converter covered {hits} of {len(params) + len(stats)} leaves")
+    return {
+        "params": traverse_util.unflatten_dict(params, sep="/"),
+        "batch_stats": traverse_util.unflatten_dict(stats, sep="/"),
+    }
+
+
+def _assert_pyramid_parity(name: str):
+    tm = random_torch_encoder(name, seed=7)
+    flat = convert_torch_resnet(tm.state_dict(), name)
+
+    enc = build_encoder(name, 3, dtype=jnp.float32)
+    x = np.random.default_rng(1).normal(0, 1, (2, S, S, 3)).astype(np.float32)
+    variables = enc.init(jax.random.key(0), jnp.asarray(x), train=False)
+    variables = _flat_to_variables(flat, variables)
+    ours = enc.apply(variables, jnp.asarray(x), train=False)
+
+    theirs = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    assert len(ours) == len(theirs) == 6
+    for lvl, (a, b) in enumerate(zip(ours, theirs)):
+        b = np.transpose(b.numpy(), (0, 2, 3, 1))
+        assert a.shape == b.shape, (lvl, a.shape, b.shape)
+        np.testing.assert_allclose(
+            np.asarray(a), b, rtol=2e-4, atol=2e-4,
+            err_msg=f"{name} pyramid level {lvl} diverges from torch")
+
+
+def test_resnet18_numerical_parity():
+    _assert_pyramid_parity("resnet18")
+
+
+def test_resnet34_numerical_parity():
+    _assert_pyramid_parity("resnet34")
+
+
+@pytest.mark.slow
+def test_resnet50_numerical_parity():
+    _assert_pyramid_parity("resnet50")

@@ -90,8 +90,13 @@ def create_unet(
     image_size: Optional[int] = None,
     seed: int = 0,
     dtype=None,
+    **unet_kwargs,
 ) -> ModelBundle:
-    """Build + initialize a U-Net segmentation bundle (smp.Unet analogue)."""
+    """Build + initialize a U-Net segmentation bundle (smp.Unet analogue).
+
+    Extra keyword args (``fused_decoder``, ``logits_dtype``, ...) pass
+    through to the ``Unet`` module.
+    """
     encoder_name = encoder_name or Config.ENCODER_NAME
     in_channels = in_channels or Config.IN_CHANNELS
     classes = classes or Config.NUM_CLASSES
@@ -99,7 +104,8 @@ def create_unet(
     dtype = dtype or Config.compute_dtype()
 
     module = Unet(encoder_name=encoder_name, classes=classes,
-                  in_channels=in_channels, activation=activation, dtype=dtype)
+                  in_channels=in_channels, activation=activation, dtype=dtype,
+                  **unet_kwargs)
     sample = jnp.zeros((1, image_size, image_size, in_channels), jnp.float32)
     bundle = ModelBundle.create(module, sample, rng=jax.random.key(seed))
     if encoder_weights == "imagenet":

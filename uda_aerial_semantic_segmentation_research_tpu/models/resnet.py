@@ -28,6 +28,18 @@ import jax.numpy as jnp
 ModuleDef = Any
 
 
+def _tpad(k: int):
+    """torch-style symmetric conv padding (k // 2 both sides).
+
+    Equals "SAME" for stride 1 but NOT for stride 2 on even inputs,
+    where SAME pads (0, 1) and shifts the sampling grid one pixel off
+    torchvision's -- which would silently break converted ImageNet
+    checkpoints (models/pretrained.py) at every downsampling conv.
+    """
+    p = k // 2
+    return ((p, p), (p, p))
+
+
 class BasicBlock(nn.Module):
     """3x3 + 3x3 residual block (resnet18/34)."""
 
@@ -40,14 +52,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(x)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=_tpad(3))(x)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters, (3, 3))(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters, (1, 1),
-                                 (self.strides, self.strides), name="downsample_conv")(x)
+                                 (self.strides, self.strides), padding="VALID",
+                                 name="downsample_conv")(x)
             residual = self.norm(name="downsample_norm")(residual)
         return nn.relu(y + residual)
 
@@ -67,14 +81,16 @@ class Bottleneck(nn.Module):
         y = self.conv(self.filters, (1, 1))(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), (self.strides, self.strides))(y)
+        y = self.conv(self.filters, (3, 3), (self.strides, self.strides),
+                      padding=_tpad(3))(y)
         y = self.norm()(y)
         y = nn.relu(y)
         y = self.conv(self.filters * self.expansion, (1, 1))(y)
         y = self.norm(scale_init=nn.initializers.zeros)(y)
         if residual.shape != y.shape:
             residual = self.conv(self.filters * self.expansion, (1, 1),
-                                 (self.strides, self.strides), name="downsample_conv")(x)
+                                 (self.strides, self.strides), padding="VALID",
+                                 name="downsample_conv")(x)
             residual = self.norm(name="downsample_norm")(residual)
         return nn.relu(y + residual)
 
@@ -97,13 +113,14 @@ class ResNetEncoder(nn.Module):
                        dtype=self.dtype, param_dtype=jnp.float32)
 
         features = [x]
-        y = conv(self.num_filters, (7, 7), (2, 2), name="stem_conv")(
-            x.astype(self.dtype))
+        y = conv(self.num_filters, (7, 7), (2, 2), padding=_tpad(7),
+                 name="stem_conv")(x.astype(self.dtype))
         y = norm(name="stem_norm")(y)
         y = nn.relu(y)
         features.append(y)                                   # /2
 
-        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding="SAME")
+        # torch MaxPool2d(3, 2, padding=1); -inf padding preserves max
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=_tpad(3))
         for stage, n_blocks in enumerate(self.stage_sizes):
             for blk in range(n_blocks):
                 strides = 2 if stage > 0 and blk == 0 else 1
@@ -132,7 +149,7 @@ class InvertedResidual(nn.Module):
         if self.expand != 1:
             y = nn.relu6(self.norm()(self.conv(cin * self.expand, (1, 1))(y)))
         y = self.conv(y.shape[-1], (3, 3), (self.strides, self.strides),
-                      feature_group_count=y.shape[-1])(y)
+                      padding=_tpad(3), feature_group_count=y.shape[-1])(y)
         y = nn.relu6(self.norm()(y))
         y = self.norm()(self.conv(self.filters, (1, 1))(y))
         if self.strides == 1 and cin == self.filters:
@@ -159,7 +176,8 @@ class MobileNetV2Encoder(nn.Module):
 
         features = [x]
         y = nn.relu6(norm(name="stem_norm")(
-            conv(32, (3, 3), (2, 2), name="stem_conv")(x.astype(self.dtype))))
+            conv(32, (3, 3), (2, 2), padding=_tpad(3),
+                 name="stem_conv")(x.astype(self.dtype))))
         y = block(filters=16, strides=1, expand=1, name="ir0")(y)
         features.append(y)                                   # /2, 16ch
 

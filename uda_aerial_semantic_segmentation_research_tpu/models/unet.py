@@ -118,6 +118,11 @@ class Unet(nn.Module):
     activation: Optional[str] = None
     dtype: Any = jnp.bfloat16
     fused_decoder: bool = False
+    # dtype the logits are RETURNED in.  float32 is the parity default;
+    # bfloat16 halves the largest tensor in training (B, H, W, 23) and
+    # lets a fused loss consume it without an f32 materialization -- the
+    # per-pixel CE is computed in f32 either way (ops/losses.py upcasts).
+    logits_dtype: Any = jnp.float32
 
     def setup(self):
         self.encoder = build_encoder(self.encoder_name, self.in_channels, self.dtype)
@@ -130,7 +135,7 @@ class Unet(nn.Module):
     def __call__(self, x, train: bool = False):
         features = self.encoder(x, train=train)
         y = self.decoder(features, train=train)
-        logits = self.segmentation_head(y).astype(jnp.float32)
+        logits = self.segmentation_head(y).astype(self.logits_dtype)
         if self.activation == "softmax":
             return jax.nn.softmax(logits, axis=-1)
         if self.activation == "sigmoid":
@@ -143,4 +148,4 @@ class Unet(nn.Module):
 
     def decode(self, features, train: bool = False):
         y = self.decoder(features, train=train)
-        return self.segmentation_head(y).astype(jnp.float32)
+        return self.segmentation_head(y).astype(self.logits_dtype)

@@ -25,19 +25,31 @@ Coverage vs the reference pipelines (weak=get_training_augmentation,
 strong=get_strong_augmentation):
 
   rot90 / flip / transpose            exact (integer dihedral matrices)
-  shift-scale-rotate                  exact (bilinear image / nearest
+  shift-scale-rotate                  exact bilinear image / nearest
                                       mask, reflect-101 border like
-                                      albumentations)
+                                      albumentations; magnitudes drawn
+                                      PER GROUP of the batch (``warp_groups``
+                                      grids/batch; per-image when the
+                                      batch is small -- the reference
+                                      draws per image,
+                                      src/models/augmentation.py:25-31)
   gaussian noise                      exact (variance ranges mirrored)
-  blur (motion/median/box family)     separable box-blur approximation
-  brightness-contrast / sharpen       exact
+  blur OneOf {motion, median, box}    per-image kernel choice with the
+                                      reference's OneOf weights; median
+                                      3x3 exact (sorting network), 5x5 as
+                                      iterated 3x3; motion blur along a
+                                      per-image direction from the 4
+                                      integer-pixel axes (the reference
+                                      draws a continuous angle)
+  brightness-contrast                 exact
+  sharpen / emboss                    exact imgaug kernels, per-image
+                                      alpha/lightness/strength draws
   hue-saturation-value                exact (jnp RGB<->HSV)
-  optical / grid / elastic distortion shared-grid displacement fields
-                                      (OneOf per batch, per-image gate)
-  CLAHE / emboss                      not implemented on device (data-
-                                      dependent per-pixel LUT / marginal
-                                      value); their OneOf groups fall
-                                      back to tractable members.
+  optical / grid / elastic distortion per-group displacement fields
+                                      (OneOf per group, per-image gate)
+  CLAHE                               on device, LAB L-channel, bit-exact
+                                      LUTs vs cv2.createCLAHE (per-image
+                                      clip draw like albumentations)
   Normalize (ImageNet) + ToTensor     fused into the same program;
                                       output float32 NHWC.
 """
@@ -84,9 +96,24 @@ class AugmentConfig:
     noise_std: Tuple[float, float] = (10.0 ** 0.5 / 255.0, 50.0 ** 0.5 / 255.0)
     p_blur: float = 0.2
     blur_size: int = 3
-    p_color: float = 0.3          # OneOf {sharpen, brightness/contrast}
+    # per-image OneOf {motion, median, box} weights; reference weak group
+    # MotionBlur p=.2 / MedianBlur p=.1 / Blur p=.1 normalized
+    # (src/models/augmentation.py:19-23)
+    blur_weights: Tuple[float, float, float] = (0.5, 0.25, 0.25)
+    # OneOf {CLAHE, sharpen, emboss, brightness/contrast}
+    # (reference src/models/augmentation.py:29-34)
+    p_color: float = 0.3
     brightness_limit: float = 0.2
     contrast_limit: float = 0.2
+    # albumentations Sharpen/Emboss parameter ranges (per-image draws)
+    sharpen_alpha: Tuple[float, float] = (0.2, 0.5)
+    sharpen_lightness: Tuple[float, float] = (0.5, 1.0)
+    emboss_alpha: Tuple[float, float] = (0.2, 0.5)
+    emboss_strength: Tuple[float, float] = (0.2, 0.7)
+    # albumentations CLAHE(clip_limit=L) draws per-image from U(1, L);
+    # 0 disables the member (its OneOf slot redistributes to the other 3)
+    clahe_clip: float = 2.0
+    clahe_tiles: int = 8
     p_hsv: float = 0.3
     # albumentations HueSaturationValue(hue_shift_limit=20) shifts H on
     # OpenCV's [0,180) uint8 hue scale, i.e. 20/180 of the hue circle.
@@ -101,6 +128,13 @@ class AugmentConfig:
     grid_limit: float = 0.3         # control-point jitter (cell fraction)
     elastic_alpha: float = 1.0      # displacement magnitude (pixels)
     elastic_sigma: int = 50         # smoothness (low-res field cell size)
+    # warp magnitudes are drawn once per GROUP of the batch (grids are the
+    # expensive shared resource; magnitudes need not be batch-global).  The
+    # effective group count is the largest divisor of B that is <= this,
+    # so small batches get fully per-image magnitudes.  4 keeps the gather
+    # rows >= 96 lanes at bench batch (128/4 * 3ch) -- lane packing over
+    # group diversity.
+    warp_groups: int = 4
 
     @property
     def has_geometric(self) -> bool:
@@ -116,8 +150,9 @@ STRONG = AugmentConfig(
     p_rot90=0.7, p_flip=0.7, p_transpose=0.7,
     p_ssr=0.5, shift_limit=0.1, scale_limit=0.3, rotate_limit=60.0,
     p_noise=0.4, noise_std=(20.0 ** 0.5 / 255.0, 80.0 ** 0.5 / 255.0),
-    p_blur=0.4, blur_size=5,
-    p_color=0.5, brightness_limit=0.3, contrast_limit=0.3,
+    # strong blur OneOf: MotionBlur p=.4 / MedianBlur p=.3 / Blur p=.3
+    p_blur=0.4, blur_size=5, blur_weights=(0.4, 0.3, 0.3),
+    p_color=0.5, brightness_limit=0.3, contrast_limit=0.3, clahe_clip=4.0,
     p_hsv=0.4, hue_shift=20.0 / 180.0, sat_shift=30.0 / 255.0,
     val_shift=20.0 / 255.0,
     p_distort=0.3, optical_limit=0.08, grid_limit=0.4, elastic_alpha=1.5,
@@ -199,46 +234,75 @@ def _apply_dihedral(x, m, a, b, c):
     return x, m
 
 
-def _grid_sample_shared(x, m, sx, sy, gate):
-    """Sample the batch at ONE shared (sx, sy) grid, per-image gated.
+def _n_groups(n: int, requested: int) -> int:
+    """Largest divisor of ``n`` that is <= ``requested``."""
+    g = max(min(requested, n), 1)
+    while n % g:
+        g -= 1
+    return g
 
-    TPU-first pattern: per-image warp grids force per-pixel gathers
-    (measured ~270 ms per corner at B=64/512px); a shared grid turns
-    each bilinear corner into a row-gather over a (H*W, B*C) layout --
-    contiguous 128-lane rows, ~20x faster.  Image bilinear, mask
-    nearest, reflect-101 borders; ``gate`` is the (B,) application mask.
+
+def _grid_sample_grouped(x, m, sx, sy, gate):
+    """Sample the batch at per-GROUP (sx, sy) grids, per-image gated.
+
+    TPU-first pattern: fully per-image warp grids force per-pixel
+    gathers (measured ~270 ms per corner at B=64/512px); a grid shared
+    by a GROUP of images turns each bilinear corner into a batched
+    row-gather over a (K, H*W, G*C) layout -- contiguous 128-lane rows.
+    ``sx``/``sy`` are (K, H, W) with K dividing the batch; K == B gives
+    true per-image warps (small batches), K == 1 the fully shared grid.
+    Image bilinear, mask nearest, reflect-101 borders; ``gate`` is the
+    (B,) application mask.
     """
-    n, h, w = x.shape[0], x.shape[1], x.shape[2]
-    ch = x.shape[3]
+    n, h, w, ch = x.shape
+    kg = sx.shape[0]
+    g = n // kg
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
-    fx = (sx - x0).reshape(h * w, 1)
-    fy = (sy - y0).reshape(h * w, 1)
+    fx = (sx - x0).reshape(kg * h * w, 1)
+    fy = (sy - y0).reshape(kg * h * w, 1)
     x0i = _reflect_index(x0.astype(jnp.int32), w)
     x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
     y0i = _reflect_index(y0.astype(jnp.int32), h)
     y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
 
-    rows = jnp.transpose(x, (1, 2, 0, 3)).reshape(h * w, n * ch)
+    # Fold the group dim into ROWS: rows (K*H*W, G*CH), index = k*H*W +
+    # y*w + x -- one flat row-gather (jnp.take), the contiguous-row
+    # pattern XLA lowers efficiently.  (A batched take_along_axis lowers
+    # to a generic per-element gather: measured ~1 s/step at B=128 @
+    # 512px.  Narrow rows are the other cliff: 48-lane rows gather ~10x
+    # slower than 128-lane rows, so the mask rides along as a 4th
+    # channel -- G*(C+1) = 128 lanes at B=128/K=4 -- instead of its own
+    # skinny int gather, and its NEAREST sample is recovered exactly by
+    # selecting among the 4 bilinear corners: round(s) is always
+    # floor(s) or floor(s)+1.)
+    if m is not None:
+        x_ext = jnp.concatenate([x, m.astype(x.dtype)[..., None]], axis=-1)
+    else:
+        x_ext = x
+    che = x_ext.shape[-1]
+    rows = jnp.transpose(x_ext.reshape(kg, g, h, w, che),
+                         (0, 2, 3, 1, 4)).reshape(kg * h * w, g * che)
+    base = (jnp.arange(kg, dtype=jnp.int32) * (h * w))[:, None, None]
 
-    def g(yi, xi):
-        return jnp.take(rows, (yi * w + xi).reshape(-1), axis=0)
+    def gat(yi, xi):
+        return jnp.take(rows, (base + yi * w + xi).reshape(-1), axis=0)
 
-    out = (g(y0i, x0i) * (1 - fx) * (1 - fy)
-           + g(y0i, x1i) * fx * (1 - fy)
-           + g(y1i, x0i) * (1 - fx) * fy
-           + g(y1i, x1i) * fx * fy)
-    out = jnp.transpose(out.reshape(h, w, n, ch), (2, 0, 1, 3))
+    g00, g01 = gat(y0i, x0i), gat(y0i, x1i)
+    g10, g11 = gat(y1i, x0i), gat(y1i, x1i)
+    out = (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
+           + g10 * (1 - fx) * fy + g11 * fx * fy)
+    out = out.reshape(kg, h, w, g, che)[..., :ch]
+    out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(n, h, w, ch)
     x = jnp.where(gate[:, None, None, None], out, x)
 
     if m is not None:
-        xn = _reflect_index(jnp.round(sx).astype(jnp.int32), w)
-        yn = _reflect_index(jnp.round(sy).astype(jnp.int32), h)
-        mrows = jnp.transpose(m, (1, 2, 0)).reshape(h * w, n)
-        mo = jnp.take(mrows, (yn * w + xn).reshape(-1), axis=0)
-        mo = jnp.transpose(mo.reshape(h, w, n), (2, 0, 1))
-        m = jnp.where(gate[:, None, None], mo, m)
+        near = jnp.where(fy < 0.5, jnp.where(fx < 0.5, g00, g01),
+                         jnp.where(fx < 0.5, g10, g11))
+        near = near.reshape(kg, h, w, g, che)[..., ch]
+        mo = jnp.round(jnp.transpose(near, (0, 3, 1, 2))).astype(m.dtype)
+        m = jnp.where(gate[:, None, None], mo.reshape(n, h, w), m)
     return x, m
 
 
@@ -247,78 +311,86 @@ def _identity_grid(h, w):
                         jnp.arange(w, dtype=jnp.float32), indexing="ij")
 
 
-def _ssr_warp_shared(key, x, m, cfg: AugmentConfig):
-    """Shift-scale-rotate on a per-batch shared grid.
+def _ssr_warp_grouped(key, x, m, cfg: AugmentConfig):
+    """Shift-scale-rotate with per-group magnitude draws.
 
-    Per-image randomness lives in the APPLICATION gate (each image warps
-    with prob ``p_ssr``) and across steps/views via the key; the warp
-    magnitudes are shared within a batch (the reference draws them
-    per-image, src/models/augmentation.py:25-31 -- documented tradeoff).
+    Each group of ``B / warp_groups`` images shares one (shift, scale,
+    angle) draw; each image still applies independently with prob
+    ``p_ssr`` (the reference draws magnitudes per image,
+    src/models/augmentation.py:25-31; groups recover that distribution
+    exactly for small batches and to within-group correlation at bench
+    batch sizes, with the shared-grid gather economics intact).
     """
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    kg = _n_groups(n, cfg.warp_groups)
     k = jax.random.split(key, 4)
     do = jax.random.uniform(k[0], (n,)) < cfg.p_ssr
-    shift = jax.random.uniform(k[1], (2,), minval=-cfg.shift_limit,
+    shift = jax.random.uniform(k[1], (kg, 2), minval=-cfg.shift_limit,
                                maxval=cfg.shift_limit)
-    scale = 1.0 + jax.random.uniform(k[2], (), minval=-cfg.scale_limit,
+    scale = 1.0 + jax.random.uniform(k[2], (kg,), minval=-cfg.scale_limit,
                                      maxval=cfg.scale_limit)
-    ang = jnp.deg2rad(jax.random.uniform(k[3], (), minval=-cfg.rotate_limit,
+    ang = jnp.deg2rad(jax.random.uniform(k[3], (kg,),
+                                         minval=-cfg.rotate_limit,
                                          maxval=cfg.rotate_limit))
 
-    cos, sin = jnp.cos(ang), jnp.sin(ang)
-    inv_s = 1.0 / scale
+    cos = jnp.cos(ang)[:, None, None]
+    sin = jnp.sin(ang)[:, None, None]
+    inv_s = (1.0 / scale)[:, None, None]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = _identity_grid(h, w)
-    ox = xx - cx - shift[0] * w
-    oy = yy - cy - shift[1] * h
+    ox = xx[None] - cx - shift[:, 0, None, None] * w
+    oy = yy[None] - cy - shift[:, 1, None, None] * h
     sx = (cos * ox + sin * oy) * inv_s + cx
     sy = (-sin * ox + cos * oy) * inv_s + cy
-    return _grid_sample_shared(x, m, sx, sy, do)
+    return _grid_sample_grouped(x, m, sx, sy, do)
 
 
-def _distort_warp_shared(key, x, m, cfg: AugmentConfig):
-    """OneOf {optical, grid, elastic} distortion on a shared grid.
+def _distort_warp_grouped(key, x, m, cfg: AugmentConfig):
+    """OneOf {optical, grid, elastic} distortion with per-group fields.
 
     Device-native counterparts of the reference's albumentations
-    distortion OneOf group (src/models/augmentation.py): the batch draws
-    one distortion type + one displacement field; each image applies it
-    with prob ``p_distort``.  All three reduce to "identity grid + a
-    smooth displacement field", sampled with the same shared-grid
-    row-gather as shift-scale-rotate.
+    distortion OneOf group (src/models/augmentation.py): each group of
+    the batch draws one distortion type + one displacement field; each
+    image applies its group's field with prob ``p_distort``.  All three
+    reduce to "identity grid + a smooth displacement field", sampled
+    with the grouped row-gather used by shift-scale-rotate.
     """
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
+    kg = _n_groups(n, cfg.warp_groups)
     k = jax.random.split(key, 5)
     do = jax.random.uniform(k[0], (n,)) < cfg.p_distort
-    which = jax.random.randint(k[1], (), 0, 3)
+    which = jax.random.randint(k[1], (kg,), 0, 3)
     yy, xx = _identity_grid(h, w)
 
     # optical (radial barrel/pincushion): r' = r * (1 + k2 * (r/R)^2)
-    k2 = jax.random.uniform(k[2], (), minval=-cfg.optical_limit,
-                            maxval=cfg.optical_limit)
+    k2 = jax.random.uniform(k[2], (kg,), minval=-cfg.optical_limit,
+                            maxval=cfg.optical_limit)[:, None, None]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     rx, ry = (xx - cx) / cx, (yy - cy) / cy
-    r2 = rx * rx + ry * ry
-    opt_dx = (xx - cx) * k2 * r2
-    opt_dy = (yy - cy) * k2 * r2
+    r2 = (rx * rx + ry * ry)[None]
+    opt_dx = (xx - cx)[None] * k2 * r2
+    opt_dy = (yy - cy)[None] * k2 * r2
 
     # grid distortion: coarse (steps+1)^2 control-point jitter upsampled
     gsz = cfg.grid_steps + 1
     cell = max(h // cfg.grid_steps, 1)
-    gfield = jax.random.uniform(k[3], (gsz, gsz, 2), minval=-cfg.grid_limit,
+    gfield = jax.random.uniform(k[3], (kg, gsz, gsz, 2),
+                                minval=-cfg.grid_limit,
                                 maxval=cfg.grid_limit) * cell
-    gfield = jax.image.resize(gfield, (h, w, 2), method="bilinear")
+    gfield = jax.image.resize(gfield, (kg, h, w, 2), method="bilinear")
     grid_dx, grid_dy = gfield[..., 0], gfield[..., 1]
 
     # elastic: smooth dense field = low-res uniform noise upsampled
     esz = max(h // max(cfg.elastic_sigma // 8, 1), 2)
-    efield = jax.random.uniform(k[4], (esz, esz, 2), minval=-1.0,
+    efield = jax.random.uniform(k[4], (kg, esz, esz, 2), minval=-1.0,
                                 maxval=1.0) * (cfg.elastic_alpha * h / 100.0)
-    efield = jax.image.resize(efield, (h, w, 2), method="bilinear")
+    efield = jax.image.resize(efield, (kg, h, w, 2), method="bilinear")
     el_dx, el_dy = efield[..., 0], efield[..., 1]
 
-    dx = jax.lax.switch(which, [lambda: opt_dx, lambda: grid_dx, lambda: el_dx])
-    dy = jax.lax.switch(which, [lambda: opt_dy, lambda: grid_dy, lambda: el_dy])
-    return _grid_sample_shared(x, m, xx + dx, yy + dy, do)
+    sel = which[:, None, None]
+    dx = jnp.where(sel == 0, opt_dx, jnp.where(sel == 1, grid_dx, el_dx))
+    dy = jnp.where(sel == 0, opt_dy, jnp.where(sel == 1, grid_dy, el_dy))
+    return _grid_sample_grouped(x, m, xx[None] + dx, yy[None] + dy, do)
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +406,288 @@ def _box_blur(x, size: int):
     y = sum(y[:, i:i + h] for i in range(size)) / size
     y = jnp.pad(y, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
     return sum(y[:, :, i:i + w] for i in range(size)) / size
+
+
+def _conv3x3_per_image(x, kern):
+    """Per-image 3x3 cross-correlation via 9 shifted adds.
+
+    ``kern``: (B, 3, 3) per-image kernels applied to every channel
+    (cv2.filter2D semantics, BORDER_REFLECT_101 like albumentations'
+    Sharpen/Emboss).  Pure VPU multiply-adds, XLA fuses the 9 taps into
+    one pass."""
+    h, w = x.shape[1], x.shape[2]
+    y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    out = jnp.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + kern[:, dy, dx][:, None, None, None] \
+                * y[:, dy:dy + h, dx:dx + w]
+    return out
+
+
+def _sharpen_kernel(alpha, lightness):
+    """imgaug/albumentations Sharpen kernel, per image.
+
+    kernel = (1 - alpha) * I + alpha * [[-1,-1,-1],
+                                        [-1, 8+l,-1],
+                                        [-1,-1,-1]]
+    (albumentations Sharpen(alpha=(0.2,0.5), lightness=(0.5,1.0)), the
+    reference's color OneOf member, src/models/augmentation.py:29-34).
+    """
+    n = alpha.shape[0]
+    eye = jnp.zeros((n, 3, 3)).at[:, 1, 1].set(1.0)
+    eff = jnp.full((n, 3, 3), -1.0).at[:, 1, 1].set(8.0 + lightness)
+    return (1.0 - alpha)[:, None, None] * eye + alpha[:, None, None] * eff
+
+
+def _emboss_kernel(alpha, strength):
+    """imgaug/albumentations Emboss kernel, per image.
+
+    kernel = (1 - alpha) * I + alpha * [[-1-s, -s, 0],
+                                        [  -s,  1, s],
+                                        [   0,  s, 1+s]]
+    (albumentations Emboss(alpha=(0.2,0.5), strength=(0.2,0.7)),
+    reference color OneOf member, src/models/augmentation.py:29-34).
+    """
+    n = alpha.shape[0]
+    eye = jnp.zeros((n, 3, 3)).at[:, 1, 1].set(1.0)
+    z = jnp.zeros_like(strength)
+    s = strength
+    eff = jnp.stack([
+        jnp.stack([-1.0 - s, -s, z], axis=-1),
+        jnp.stack([-s, jnp.ones_like(s), s], axis=-1),
+        jnp.stack([z, s, 1.0 + s], axis=-1),
+    ], axis=1)
+    return (1.0 - alpha)[:, None, None] * eye + alpha[:, None, None] * eff
+
+
+# ---------------------------------------------------------------------------
+# CLAHE (contrast-limited adaptive histogram equalization) on device
+# ---------------------------------------------------------------------------
+# albumentations CLAHE = cv2 CLAHE on the L channel of LAB, RGB roundtrip
+# (reference color OneOf member, src/models/augmentation.py:29-34).
+# TPU-native formulation: per-tile 256-bin histograms as one-hot
+# reductions (MXU/VPU friendly, no scatter), clip + float redistribution,
+# CDF LUTs, and the bilinear 4-tile LUT blend computed as a batched
+# one-hot matmul over half-tile-shifted CELLS (within a cell the 4
+# corner tiles are constant, so the blend is one (pixels, 256) x
+# (256, 4) contraction per cell instead of per-pixel gathers).
+# The LUT construction (integer clip limit, per-256 redistribution,
+# strided residual drop) replicates cv2 BIN FOR BIN -- the L-channel
+# output is bit-exact against cv2.createCLAHE (tests/test_augment.py).
+# Remaining divergence: a/b chroma stay float (cv2's 8-bit path
+# quantizes them to uint8).
+
+def _srgb_to_linear(c):
+    return jnp.where(c > 0.04045, ((c + 0.055) / 1.055) ** 2.4, c / 12.92)
+
+
+def _linear_to_srgb(c):
+    return jnp.where(c > 0.0031308,
+                     1.055 * jnp.power(jnp.maximum(c, 1e-12), 1.0 / 2.4) - 0.055,
+                     12.92 * c)
+
+
+def _rgb_to_lab(rgb):
+    """sRGB [0,1] -> CIE LAB (D65), cv2 semantics (L in [0,100])."""
+    c = _srgb_to_linear(jnp.clip(rgb, 0.0, 1.0))
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    x = (0.412453 * r + 0.357580 * g + 0.180423 * b) / 0.950456
+    y = 0.212671 * r + 0.715160 * g + 0.072169 * b
+    z = (0.019334 * r + 0.119193 * g + 0.950227 * b) / 1.088754
+
+    def f(t):
+        return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
+
+    fx, fy, fz = f(x), f(y), f(z)
+    return 116.0 * fy - 16.0, 500.0 * (fx - fy), 200.0 * (fy - fz)
+
+
+def _lab_to_rgb(L, a, b):
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+
+    def finv(t):
+        return jnp.where(t > 0.206897, t ** 3, (t - 16.0 / 116.0) / 7.787)
+
+    x = finv(fx) * 0.950456
+    y = finv(fy)
+    z = finv(fz) * 1.088754
+    r = 3.240479 * x - 1.537150 * y - 0.498535 * z
+    g = -0.969256 * x + 1.875992 * y + 0.041556 * z
+    bl = 0.055648 * x - 0.204043 * y + 1.057311 * z
+    return jnp.clip(_linear_to_srgb(jnp.stack([r, g, bl], axis=-1)), 0.0, 1.0)
+
+
+def _clahe_lut(l_u8, clip, tiles: int):
+    """Per-tile clipped-equalization LUTs.
+
+    ``l_u8``: (N, H, W) int32 in [0, 255]; ``clip``: (N,) float clip
+    limits (cv2 clipLimit).  Returns (N, tiles*tiles, 256) float LUTs.
+    """
+    n, h, w = l_u8.shape
+    th, tw = h // tiles, w // tiles
+    area = th * tw
+    tiled = l_u8.reshape(n, tiles, th, tiles, tw).transpose(0, 1, 3, 2, 4)
+    tiled = tiled.reshape(n, tiles * tiles, area)
+    onehot = jax.nn.one_hot(tiled, 256, dtype=jnp.bfloat16)
+    hist = jnp.sum(onehot, axis=2, dtype=jnp.float32)      # exact: <= 2^12
+    limit = jnp.maximum(jnp.floor(clip * area / 256.0), 1.0)[:, None, None]
+    clipped = jnp.minimum(hist, limit)
+    excess = jnp.sum(hist - clipped, axis=-1, keepdims=True)
+    # cv2's integer redistribution, vectorized: floor(excess/256) to every
+    # bin, then the residual dropped one-per-bin at stride
+    # max(256 // residual, 1) starting from bin 0
+    batch = jnp.floor(excess / 256.0)
+    residual = excess - batch * 256.0
+    step = jnp.maximum(jnp.floor(256.0 / jnp.maximum(residual, 1.0)), 1.0)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    gets_one = ((jnp.mod(bins, step) == 0)
+                & (jnp.floor(bins / step) < residual)).astype(jnp.float32)
+    redist = clipped + batch + gets_one
+    cdf = jnp.cumsum(redist, axis=-1)
+    return jnp.round(cdf * (255.0 / area))
+
+
+def _clahe_apply(l_u8, lut, tiles: int):
+    """Bilinear 4-tile LUT blend -> new L values (float, [0, 255]).
+
+    Pixels are regrouped into half-tile-shifted cells; within a cell the
+    4 nearest tile centers are fixed, so the blend is one batched
+    (pixels, 256) x (256, 4) one-hot matmul per cell plus a static
+    bilinear weight sum.
+    """
+    n, h, w = l_u8.shape
+    th, tw = h // tiles, w // tiles
+    hp, wp = th // 2, tw // 2
+    tc = tiles + 1
+
+    lp = jnp.pad(l_u8, ((0, 0), (hp, th - hp), (wp, tw - wp)), mode="edge")
+    cells = lp.reshape(n, tc, th, tc, tw).transpose(0, 1, 3, 2, 4)
+    cells = cells.reshape(n, tc * tc, th * tw)
+
+    # static corner-tile indices per cell (clamped at borders, cv2-style)
+    ii = np.arange(tc)
+    t0 = np.clip(ii - 1, 0, tiles - 1)
+    t1 = np.clip(ii, 0, tiles - 1)
+    y0g, x0g = np.meshgrid(t0, t0, indexing="ij")
+    y1g, x1g = np.meshgrid(t1, t1, indexing="ij")
+    corners = np.stack([y0g * tiles + x0g, y0g * tiles + x1g,
+                        y1g * tiles + x0g, y1g * tiles + x1g],
+                       axis=-1).reshape(tc * tc, 4)          # (cells, 4)
+
+    # static bilinear weights per within-cell position; cv2 uses the raw
+    # pixel coordinate (tyf = y / th - 0.5), not the pixel center, so for
+    # global y = I*th - th/2 + r the fraction is exactly r / th
+    wy = np.arange(th) / th
+    wx = np.arange(tw) / tw
+    wyx = np.stack([np.outer(1 - wy, 1 - wx), np.outer(1 - wy, wx),
+                    np.outer(wy, 1 - wx), np.outer(wy, wx)],
+                   axis=-1).reshape(th * tw, 4)              # (px, 4)
+
+    luts4 = jnp.take(lut, jnp.asarray(corners).reshape(-1), axis=1)
+    luts4 = luts4.reshape(n, tc * tc, 4, 256).transpose(0, 1, 3, 2)
+    onehot = jax.nn.one_hot(cells, 256, dtype=jnp.bfloat16)
+    vals = jnp.einsum("ncpb,ncbk->ncpk", onehot,
+                      luts4.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)    # (n, cells, px, 4)
+    newl = jnp.sum(vals * jnp.asarray(wyx, np.float32), axis=-1)
+
+    newl = newl.reshape(n, tc, tc, th, tw).transpose(0, 1, 3, 2, 4)
+    newl = newl.reshape(n, tc * th, tc * tw)
+    return newl[:, hp:hp + h, wp:wp + w]
+
+
+def _clahe_impl(x, clip, tiles: int):
+    L, a, b = _rgb_to_lab(x)
+    l_u8 = jnp.clip(jnp.round(L * (255.0 / 100.0)), 0, 255).astype(jnp.int32)
+    lut = _clahe_lut(l_u8, clip, tiles)
+    newl = _clahe_apply(l_u8, lut, tiles)
+    return _lab_to_rgb(newl * (100.0 / 255.0), a, b)
+
+
+def _clahe_rgb(x, clip, tiles: int = 8, chunk: int = 8):
+    """CLAHE on the LAB L channel of an RGB [0,1] batch (cv2 semantics).
+
+    Large batches scan over <=``chunk``-image slices so the one-hot
+    histogram/LUT tensors stay ~1 GB instead of ~20 GB at bench shape.
+    """
+    n = x.shape[0]
+    c = _n_groups(n, chunk)
+    if c == n:
+        return _clahe_impl(x, clip, tiles)
+    xs = x.reshape(n // c, c, *x.shape[1:])
+    clips = clip.reshape(n // c, c)
+
+    def body(carry, xc):
+        return carry, _clahe_impl(xc[0], xc[1], tiles)
+
+    _, out = jax.lax.scan(body, None, (xs, clips))
+    return out.reshape(x.shape)
+
+
+def _clahe_ok(h: int, w: int, tiles: int) -> bool:
+    """CLAHE needs tile-divisible dims and even tiles (half-tile cells)."""
+    return (tiles > 0 and h % tiles == 0 and w % tiles == 0
+            and (h // tiles) % 2 == 0 and (w // tiles) % 2 == 0)
+
+
+def _sort2(a, b):
+    return jnp.minimum(a, b), jnp.maximum(a, b)
+
+
+def _median3(x):
+    """Exact 3x3 median filter via the classic 19-exchange sorting
+    network -- branch-free elementwise min/max, one fused VPU pass.
+    Border: edge replicate (cv2.medianBlur semantics)."""
+    h, w = x.shape[1], x.shape[2]
+    y = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    p = [y[:, dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)]
+    p[1], p[2] = _sort2(p[1], p[2]); p[4], p[5] = _sort2(p[4], p[5])
+    p[7], p[8] = _sort2(p[7], p[8]); p[0], p[1] = _sort2(p[0], p[1])
+    p[3], p[4] = _sort2(p[3], p[4]); p[6], p[7] = _sort2(p[6], p[7])
+    p[1], p[2] = _sort2(p[1], p[2]); p[4], p[5] = _sort2(p[4], p[5])
+    p[7], p[8] = _sort2(p[7], p[8]); p[0], p[3] = _sort2(p[0], p[3])
+    p[5], p[8] = _sort2(p[5], p[8]); p[4], p[7] = _sort2(p[4], p[7])
+    p[3], p[6] = _sort2(p[3], p[6]); p[1], p[4] = _sort2(p[1], p[4])
+    p[2], p[5] = _sort2(p[2], p[5]); p[4], p[7] = _sort2(p[4], p[7])
+    p[4], p[2] = _sort2(p[4], p[2]); p[6], p[4] = _sort2(p[6], p[4])
+    p[4], p[2] = _sort2(p[4], p[2])
+    return p[4]
+
+
+def _median_blur(x, size: int):
+    """Median blur: exact 3x3 network; 5x5 as iterated 3x3 (documented
+    approximation -- a 25-element selection network is ~5x the VPU work
+    for a p<=0.12 augmentation branch)."""
+    y = _median3(x)
+    if size >= 5:
+        y = _median3(y)
+    return y
+
+
+def _motion_blur(x, size: int, direction):
+    """Directional (motion) blur of length ``size`` along a per-image
+    direction in {0deg, 45deg, 90deg, 135deg} -- integer-pixel rays, the
+    device-friendly subset of albumentations MotionBlur's random line
+    kernel (documented divergence: continuous angles -> 4 axes).
+    ``direction``: (B,) int32 in [0, 4)."""
+    h, w = x.shape[1], x.shape[2]
+    r = size // 2
+    y = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
+    sums = []
+    for ddy, ddx in ((0, 1), (1, 1), (1, 0), (1, -1)):
+        acc = 0.0
+        for i in range(size):
+            o = i - r
+            dy, dx = r + o * ddy, r + o * ddx
+            acc = acc + y[:, dy:dy + h, dx:dx + w]
+        sums.append(acc / size)
+    d = direction[:, None, None, None]
+    return jnp.where(d == 0, sums[0],
+                     jnp.where(d == 1, sums[1],
+                               jnp.where(d == 2, sums[2], sums[3])))
 
 
 def _rgb_to_hsv(rgb):
@@ -373,7 +727,7 @@ def _hsv_to_rgb(hsv):
 def _photometric_batch(key, x, cfg: AugmentConfig):
     """All photometric ops, batched; per-image `where` gates (masks untouched)."""
     n = x.shape[0]
-    k = jax.random.split(key, 12)
+    k = jax.random.split(key, 16)
     u = lambda kk: jax.random.uniform(kk, (n,))
     gate = lambda d: d[:, None, None, None]
 
@@ -385,28 +739,68 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
         x = jnp.where(gate(do), jnp.clip(x + noise, 0.0, 1.0), x)
 
     if cfg.p_blur > 0:
+        # OneOf {motion, median, box}, per-image choice with the
+        # reference's normalized member weights
+        # (src/models/augmentation.py:19-23)
         do = u(k[3]) < cfg.p_blur
-        x = jnp.where(gate(do), _box_blur(x, cfg.blur_size), x)
+        uw = u(k[4])
+        w0, w1, _ = cfg.blur_weights
+        direction = jax.random.randint(k[5], (n,), 0, 4)
+        blurred = jnp.where(
+            gate(uw < w0), _motion_blur(x, cfg.blur_size, direction),
+            jnp.where(gate(uw < w0 + w1), _median_blur(x, cfg.blur_size),
+                      _box_blur(x, cfg.blur_size)))
+        x = jnp.where(gate(do), blurred, x)
 
     if cfg.p_color > 0:
-        do = u(k[4]) < cfg.p_color
-        which = u(k[5]) < 0.5
-        sharp = jnp.clip(x + 0.6 * (x - _box_blur(x, 3)), 0.0, 1.0)
-        b = jax.random.uniform(k[6], (n,), minval=-cfg.brightness_limit,
+        # OneOf {CLAHE, sharpen, emboss, brightness/contrast}, uniform
+        # member weights like the reference's equal-p OneOf
+        # (src/models/augmentation.py:29-34); when CLAHE is disabled or
+        # the tile geometry doesn't divide, its slot redistributes
+        do = u(k[6]) < cfg.p_color
+        uw = u(k[7])
+        sa = jax.random.uniform(k[8], (n,), minval=cfg.sharpen_alpha[0],
+                                maxval=cfg.sharpen_alpha[1])
+        sl = jax.random.uniform(k[9], (n,), minval=cfg.sharpen_lightness[0],
+                                maxval=cfg.sharpen_lightness[1])
+        ea = jax.random.uniform(k[10], (n,), minval=cfg.emboss_alpha[0],
+                                maxval=cfg.emboss_alpha[1])
+        es = jax.random.uniform(k[11], (n,), minval=cfg.emboss_strength[0],
+                                maxval=cfg.emboss_strength[1])
+        sharp = jnp.clip(_conv3x3_per_image(x, _sharpen_kernel(sa, sl)),
+                         0.0, 1.0)
+        emb = jnp.clip(_conv3x3_per_image(x, _emboss_kernel(ea, es)),
+                       0.0, 1.0)
+        b = jax.random.uniform(k[12], (n,), minval=-cfg.brightness_limit,
                                maxval=cfg.brightness_limit)
-        c = 1.0 + jax.random.uniform(k[7], (n,), minval=-cfg.contrast_limit,
+        c = 1.0 + jax.random.uniform(k[13], (n,), minval=-cfg.contrast_limit,
                                      maxval=cfg.contrast_limit)
         bc = jnp.clip((x - 0.5) * c[:, None, None, None] + 0.5
                       + b[:, None, None, None], 0.0, 1.0)
-        x = jnp.where(gate(do), jnp.where(gate(which), sharp, bc), x)
+        use_clahe = (cfg.clahe_clip > 1.0
+                     and _clahe_ok(x.shape[1], x.shape[2], cfg.clahe_tiles))
+        if use_clahe:
+            kcl = jax.random.split(k[7])[1]
+            clip = jax.random.uniform(kcl, (n,), minval=1.0,
+                                      maxval=cfg.clahe_clip)
+            cl = _clahe_rgb(jnp.clip(x, 0.0, 1.0), clip, cfg.clahe_tiles)
+            chosen = jnp.where(
+                gate(uw < 0.25), cl,
+                jnp.where(gate(uw < 0.5), sharp,
+                          jnp.where(gate(uw < 0.75), emb, bc)))
+        else:
+            chosen = jnp.where(gate(uw < 1.0 / 3.0), sharp,
+                               jnp.where(gate(uw < 2.0 / 3.0), emb, bc))
+        x = jnp.where(gate(do), chosen, x)
 
     if cfg.p_hsv > 0:
-        do = u(k[8]) < cfg.p_hsv
-        dh = jax.random.uniform(k[9], (n,), minval=-cfg.hue_shift,
+        do = u(k[14]) < cfg.p_hsv
+        khsv = jax.random.split(k[15], 3)
+        dh = jax.random.uniform(khsv[0], (n,), minval=-cfg.hue_shift,
                                 maxval=cfg.hue_shift)
-        ds = jax.random.uniform(k[10], (n,), minval=-cfg.sat_shift,
+        ds = jax.random.uniform(khsv[1], (n,), minval=-cfg.sat_shift,
                                 maxval=cfg.sat_shift)
-        dv = jax.random.uniform(k[11], (n,), minval=-cfg.val_shift,
+        dv = jax.random.uniform(khsv[2], (n,), minval=-cfg.val_shift,
                                 maxval=cfg.val_shift)
         hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
         hsv = jnp.stack([
@@ -461,11 +855,11 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
         x, m = _apply_dihedral(x, m, a, b, c)
     if cfg.p_ssr > 0:
         k_ssr, k_dis = jax.random.split(k_ssr)
-        x, m = _ssr_warp_shared(k_ssr, x, m, cfg)
+        x, m = _ssr_warp_grouped(k_ssr, x, m, cfg)
         if cfg.p_distort > 0:
-            x, m = _distort_warp_shared(k_dis, x, m, cfg)
+            x, m = _distort_warp_grouped(k_dis, x, m, cfg)
     elif cfg.p_distort > 0:
-        x, m = _distort_warp_shared(k_ssr, x, m, cfg)
+        x, m = _distort_warp_grouped(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)
 
     if normalize:

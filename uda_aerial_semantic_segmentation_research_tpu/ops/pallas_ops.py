@@ -165,7 +165,12 @@ def flags_from_abc(a, b, c):
 # Parity vs ops.losses.softmax_cross_entropy is pinned by
 # tests/test_pallas.py (interpreter mode).
 
-_CE_TILE = 8192  # logit rows per grid step
+# pixels (columns) per grid step.  The kernel consumes logits
+# TRANSPOSED as (C, N): with channel-minor (N, C) operands the TPU's
+# (8/16, 128) tiled layouts pad the 23-class lane dimension to 128
+# (5.6x memory -- a compile-time HBM OOM at bench shape, observed
+# 37.8 GiB); as (C, N) only the sublane dim pads (23 -> 24/32).
+_CE_TILE = 4096
 
 
 def _ce_fwd_kernel(logits_ref, labels_ref, acc_ref):
@@ -175,33 +180,37 @@ def _ce_fwd_kernel(logits_ref, labels_ref, acc_ref):
     def _():
         acc_ref[0, 0] = 0.0
 
-    x = logits_ref[:].astype(jnp.float32)            # (TILE, C)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    lse = jnp.log(jnp.sum(jnp.exp(x - m), axis=-1)) + m[:, 0]
-    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    x = logits_ref[:].astype(jnp.float32)            # (C, TILE)
+    m = jnp.max(x, axis=0, keepdims=True)            # (1, TILE)
+    # all intermediates stay 2-D: Mosaic's vector layout assignment
+    # rejects 1-D relayouts of (TILE,) vectors ("non-singleton logical
+    # dimension is replicated in destination but not in source")
+    lse = jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True)) + m
+    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     onehot = (cls == labels_ref[:]).astype(jnp.float32)
-    picked = jnp.sum(x * onehot, axis=-1)
+    picked = jnp.sum(x * onehot, axis=0, keepdims=True)
     acc_ref[0, 0] += jnp.sum(lse - picked)
 
 
 def _ce_bwd_kernel(g_ref, logits_ref, labels_ref, dx_ref, *, inv_n: float):
-    x = logits_ref[:].astype(jnp.float32)
-    m = jnp.max(x, axis=-1, keepdims=True)
+    x = logits_ref[:].astype(jnp.float32)            # (C, TILE)
+    m = jnp.max(x, axis=0, keepdims=True)
     e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    p = e / jnp.sum(e, axis=0, keepdims=True)
+    cls = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     onehot = (cls == labels_ref[:]).astype(jnp.float32)
     dx_ref[:] = ((p - onehot) * (g_ref[0, 0] * inv_n)).astype(dx_ref.dtype)
 
 
 def _ce_pad(logits2d, labels2d):
-    n = logits2d.shape[0]
+    """Pad the pixel dim of (C, N) logits / (N,) labels to _CE_TILE."""
+    n = logits2d.shape[1]
     pad = (-n) % _CE_TILE
     if pad:
-        logits2d = jnp.pad(logits2d, ((0, pad), (0, 0)))
-        # padded rows get label -1: matches no class -> onehot all-zero,
-        # and their uniform-softmax NLL is subtracted analytically below
-        labels2d = jnp.pad(labels2d, ((0, pad), (0, 0)), constant_values=-1)
+        logits2d = jnp.pad(logits2d, ((0, 0), (0, pad)))
+        # padded columns get label -1: no class -> onehot all-zero; their
+        # uniform-softmax NLL is subtracted analytically by the caller
+        labels2d = jnp.pad(labels2d, (0, pad), constant_values=-1)
     return logits2d, labels2d, pad
 
 
@@ -218,20 +227,20 @@ def fused_cross_entropy(logits, labels):
 
 
 def _ce_call_fwd(logits2d, labels2d, interpret: bool):
-    ntiles = logits2d.shape[0] // _CE_TILE
-    c = logits2d.shape[1]
+    c, n = logits2d.shape
+    ntiles = n // _CE_TILE
     acc = pl.pallas_call(
         _ce_fwd_kernel,
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
-            pl.BlockSpec((_CE_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((c, _CE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, _CE_TILE), lambda i: (i, 0)),
         ],
         # scalar accumulator lives in SMEM (scalars cannot store to VMEM)
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         interpret=interpret,
-    )(logits2d, labels2d)
+    )(logits2d, labels2d.reshape(ntiles, _CE_TILE))
     return acc[0, 0]
 
 
@@ -240,18 +249,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _ce_to_cn(logits, labels):
+    """(..., C) logits -> (C, N) + flat labels (the TPU-friendly layout)."""
+    c = logits.shape[-1]
+    n = int(np.prod(logits.shape[:-1]))
+    logits2d = jnp.moveaxis(logits.reshape(n, c), -1, 0)
+    labels1d = labels.reshape(n).astype(jnp.int32)
+    return _ce_pad(logits2d, labels1d) + (n, c)
+
+
 def _ce_fwd(logits, labels, interpret: bool = None):
     if interpret is None:
         interpret = _interpret_default()
-    c = logits.shape[-1]
-    n = int(np.prod(logits.shape[:-1]))
-    logits2d = logits.reshape(n, c)
-    labels2d = labels.reshape(n, 1).astype(jnp.int32)
-    logits2d, labels2d, pad = _ce_pad(logits2d, labels2d)
-
-    total = _ce_call_fwd(logits2d, labels2d, interpret)
+    logits2d, labels1d, pad, n, c = _ce_to_cn(logits, labels)
+    total = _ce_call_fwd(logits2d, labels1d, interpret)
     if pad:
-        # padded rows contributed lse(padded zeros) = log(C); remove
+        # padded columns contributed lse(zeros) = log(C); remove
         total = total - pad * jnp.log(jnp.float32(c))
     return total / n, (logits, labels)
 
@@ -260,12 +273,8 @@ def _ce_bwd(res, g, interpret: bool = None):
     if interpret is None:
         interpret = _interpret_default()
     logits, labels = res
-    c = logits.shape[-1]
-    n = int(np.prod(logits.shape[:-1]))
-    logits2d = logits.reshape(n, c)
-    labels2d = labels.reshape(n, 1).astype(jnp.int32)
-    logits2d, labels2d, pad = _ce_pad(logits2d, labels2d)
-    ntiles = logits2d.shape[0] // _CE_TILE
+    logits2d, labels1d, pad, n, c = _ce_to_cn(logits, labels)
+    ntiles = logits2d.shape[1] // _CE_TILE
 
     g2d = jnp.asarray(g, jnp.float32).reshape(1, 1)
     dx = pl.pallas_call(
@@ -273,15 +282,16 @@ def _ce_bwd(res, g, interpret: bool = None):
         grid=(ntiles,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0)),
-            pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
-            pl.BlockSpec((_CE_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((c, _CE_TILE), lambda i: (0, i)),
+            pl.BlockSpec((1, _CE_TILE), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((_CE_TILE, c), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((c, _CE_TILE), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct(logits2d.shape, logits.dtype),
         interpret=interpret,
-    )(g2d, logits2d, labels2d)
+    )(g2d, logits2d, labels1d.reshape(ntiles, _CE_TILE))
+    dx = jnp.moveaxis(dx, 0, -1)
     if pad:
-        dx = dx[: n]
+        dx = dx[:n]
     return dx.reshape(logits.shape), None
 
 

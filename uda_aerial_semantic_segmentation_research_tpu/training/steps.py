@@ -85,8 +85,27 @@ def _seg_metrics(logits, masks, num_classes: int):
 # ---------------------------------------------------------------------------
 def make_supervised_train_step(module, num_classes: int,
                                aug_cfg: AugmentConfig = WEAK,
-                               class_weights=None):
-    """(state, key, uint8 images NHWC, int masks NHW) -> (state, metrics)."""
+                               class_weights=None, fused_ce: bool = False):
+    """(state, key, uint8 images NHWC, int masks NHW) -> (state, metrics).
+
+    ``fused_ce`` swaps the XLA cross-entropy for the Pallas fused kernel
+    (ops/pallas_ops.fused_cross_entropy): one read of the (bf16) logits
+    forward, one read + one write backward, no f32 softmax/log-softmax
+    materialization.  Numerically pinned to ``softmax_cross_entropy`` by
+    tests/test_pallas.py; requires ``class_weights=None``.
+    """
+    if fused_ce and class_weights is not None:
+        raise ValueError("fused_ce does not support class_weights")
+    if fused_ce:
+        from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_ops import (
+            fused_cross_entropy,
+        )
+
+        def ce(logits, m):
+            return fused_cross_entropy(logits, m)
+    else:
+        def ce(logits, m):
+            return softmax_cross_entropy(logits, m, class_weights)
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, images, masks):
@@ -98,7 +117,7 @@ def make_supervised_train_step(module, num_classes: int,
 
         def loss_fn(params):
             logits, new_stats = _apply_train(module, params, state.batch_stats, x)
-            loss = softmax_cross_entropy(logits, m, class_weights)
+            loss = ce(logits, m)
             return loss, (logits, new_stats)
 
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
