@@ -333,3 +333,48 @@ def test_image_mask_alignment_grouped_ssr():
         exact = np.abs(xc[b] - expected_img) < 0.5
         assert exact.mean() > 0.5
         np.testing.assert_allclose(xc[b][exact], expected_img[exact], atol=0.5)
+
+
+def test_compact_apply_serves_within_budget():
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        _compact_apply,
+        _subset_budget,
+    )
+
+    n = 32
+    x = jnp.asarray(RNG.normal(size=(n, 4, 4, 3)).astype(np.float32))
+    want = jnp.asarray(np.arange(n) % 5 == 0)          # 7 of 32 selected
+    out, served = _compact_apply(jax.random.key(1), x, want, 8,
+                                 lambda sub: sub + 1.0)
+    assert bool(jnp.all(served == want))               # budget not exceeded
+    np.testing.assert_allclose(np.asarray(out[np.asarray(want)]),
+                               np.asarray(x[np.asarray(want)]) + 1.0)
+    np.testing.assert_allclose(np.asarray(out[~np.asarray(want)]),
+                               np.asarray(x[~np.asarray(want)]))
+
+
+def test_compact_apply_truncates_over_budget():
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        _compact_apply,
+    )
+
+    n = 16
+    x = jnp.asarray(RNG.normal(size=(n, 2, 2, 1)).astype(np.float32))
+    want = jnp.ones((n,), bool)
+    out, served = _compact_apply(jax.random.key(2), x, want, 4,
+                                 lambda sub: sub * 2.0)
+    assert int(jnp.sum(served)) == 4                   # exactly the budget
+    sv = np.asarray(served)
+    np.testing.assert_allclose(np.asarray(out[sv]), np.asarray(x[sv]) * 2.0)
+    np.testing.assert_allclose(np.asarray(out[~sv]), np.asarray(x[~sv]))
+
+
+def test_subset_budget_bounds():
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        _subset_budget,
+    )
+
+    assert _subset_budget(4, 0.075) == 4               # tiny batches: all
+    b = _subset_budget(128, 0.075)                     # WEAK color OneOf
+    assert 12 <= b <= 32 and b % 4 == 0
+    assert _subset_budget(128, 0.125) >= b             # STRONG needs more

@@ -175,7 +175,8 @@ def test_pretrained_converter_maps_keys(seg_bundle):
         assert kk in own, f"converted key {kk} not in model"
 
 
-@pytest.mark.parametrize("name", ["FPN", "PSPNet", "Linknet", "DeepLabV3Plus", "UnetPlusPlus"])
+@pytest.mark.parametrize("name", ["FPN", "PSPNet", "Linknet", "DeepLabV3Plus",
+                                  "UnetPlusPlus", "PAN", "MAnet"])
 def test_architecture_families(name, batch):
     """By-name factory parity with the reference's getattr(smp, name)
     instantiation (reference src/models/train.py:570-576)."""

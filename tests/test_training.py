@@ -157,3 +157,29 @@ def test_predict_step(seg_bundle, batch):
     pred = step_lib.make_predict_step(seg_bundle.module)
     logits = pred(seg_bundle.params, seg_bundle.batch_stats, images)
     assert logits.shape == (BATCH, SIZE, SIZE, CLASSES)
+
+
+def test_scan_driver_matches_sequential(seg_bundle, batch, sup_step):
+    """make_scan_driver: S scanned steps == S sequential step calls."""
+    images, masks = batch
+    key = jax.random.key(7)
+    s = 3
+    state_a = TrainState.from_bundle(seg_bundle, adam(1e-3))
+    for _ in range(s):
+        state_a, ma = sup_step(state_a, key, images, masks)
+
+    multi = step_lib.make_scan_driver(sup_step)
+    state_b = TrainState.from_bundle(seg_bundle, adam(1e-3))
+    imgs_s = jnp.broadcast_to(jnp.asarray(images), (s,) + images.shape)
+    msks_s = jnp.broadcast_to(jnp.asarray(masks), (s,) + masks.shape)
+    state_b, mb = multi(state_b, key, imgs_s, msks_s)
+
+    assert mb["loss"].shape == (s,)
+    assert int(state_b.step) == s
+    # scan inlining changes fusion boundaries, so bit-exactness is not
+    # expected -- assert the trajectories track closely instead
+    np.testing.assert_allclose(float(mb["loss"][-1]), float(ma["loss"]),
+                               rtol=1e-3)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3),
+        jax.device_get(state_a.params), jax.device_get(state_b.params))

@@ -52,7 +52,8 @@ def create_model(
     """By-name architecture factory (smp ``getattr(smp, model_name)``
     analogue, reference src/models/train.py:570-576).
 
-    Supported: Unet, UnetPlusPlus, FPN, PSPNet, Linknet, DeepLabV3Plus.
+    Supported: Unet, UnetPlusPlus, FPN, PSPNet, Linknet,
+    DeepLabV3Plus, PAN, MAnet.
     """
     from uda_aerial_semantic_segmentation_research_tpu.models import (
         architectures as arch,
@@ -67,7 +68,8 @@ def create_model(
 
     registry = {"Unet": Unet, "FPN": arch.FPN, "PSPNet": arch.PSPNet,
                 "Linknet": arch.Linknet, "DeepLabV3Plus": arch.DeepLabV3Plus,
-                "UnetPlusPlus": arch.UnetPlusPlus}
+                "UnetPlusPlus": arch.UnetPlusPlus,
+                "PAN": arch.PAN, "MAnet": arch.MAnet}
     if model_name not in registry:
         raise ValueError(f"Unknown model '{model_name}'; "
                          f"available: {sorted(registry)}")

@@ -255,3 +255,157 @@ class DeepLabV3Plus(_SegBase):
         logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="head")(y)
         return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
+class PAN(_SegBase):
+    """Pyramid Attention Network (smp.PAN analogue).
+
+    FPA (feature pyramid attention) on the /32 bottleneck -- a 1x1 main
+    branch modulated by a 7/5/3 downsampling conv pyramid plus a global
+    pooling branch -- then three GAU (global attention upsample) blocks
+    merge C4/C3/C2 on the way up to /4; head + x4 upsample.  The
+    reference reaches this family through ``getattr(smp, MODEL_NAME)``
+    (reference src/models/train.py:570-576).  Documented approximation:
+    smp runs the encoder dilated at output stride 16; here the standard
+    /32 pyramid is used (the FPA/GAU structure is unchanged).
+    """
+
+    decoder_channels: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        c2, c3, c4, c5 = (f.astype(self.dtype) for f in feats[2:6])
+        ch = self.decoder_channels
+        fh, fw = c5.shape[1], c5.shape[2]
+
+        # --- FPA ------------------------------------------------------
+        pooled = jnp.mean(c5, axis=(1, 2), keepdims=True)
+        glob = nn.Conv(ch, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                       name="fpa_pool")(pooled)
+        mid = _conv_bn_relu(c5, ch, 1, self.dtype, train, name="fpa_mid")
+
+        # 7/5/3 downsampling pyramid, truncated when the bottleneck grid
+        # is too small to halve again (tiny test inputs)
+        downs, cur = [], c5
+        for kern, lname in ((7, "d1"), (5, "d2"), (3, "d3")):
+            if min(cur.shape[1], cur.shape[2]) < 2:
+                break
+            cur = _conv_bn_relu(nn.avg_pool(cur, (2, 2), (2, 2)), ch, kern,
+                                self.dtype, train, name=f"fpa_{lname}")
+            downs.append((kern, cur))
+        u = 0.0
+        for j, (kern, d) in enumerate(reversed(downs)):
+            u = _conv_bn_relu(d, ch, kern, self.dtype, train,
+                              name=f"fpa_u{len(downs) - j}") + u
+            target = downs[len(downs) - j - 2][1] if len(downs) - j >= 2 \
+                else c5
+            u = _upsample_to(u, *target.shape[1:3], "bilinear")
+        y = (mid * u + glob) if downs else (mid + glob)
+
+        # --- GAU ladder ----------------------------------------------
+        for i, skip in enumerate((c4, c3, c2)):
+            low = _conv_bn_relu(skip, ch, 3, self.dtype, train,
+                                name=f"gau{i}_low")
+            att = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
+                          param_dtype=jnp.float32, name=f"gau{i}_att")(
+                jnp.mean(y, axis=(1, 2), keepdims=True))
+            att = nn.sigmoid(nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name=f"gau{i}_att_norm")(att))
+            y = _upsample_to(y, *skip.shape[1:3], "bilinear") + low * att
+
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(y)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)
+
+
+class _PAB(nn.Module):
+    """Position-wise attention block over the /32 bottleneck (MAnet).
+
+    Spatial self-attention: softmax((WQ x)(WK x)^T) (WV x) at the
+    bottleneck's 16x16 grid -- a 256x256 attention matrix, MXU-trivial.
+    """
+
+    channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, fh, fw, c = x.shape
+        mid = self.channels // 4
+        pw = partial(nn.Conv, kernel_size=(1, 1), dtype=self.dtype,
+                     param_dtype=jnp.float32)
+        q = pw(features=mid, name="q")(x).reshape(b, fh * fw, mid)
+        k = pw(features=mid, name="k")(x).reshape(b, fh * fw, mid)
+        v = pw(features=c, name="v")(x).reshape(b, fh * fw, c)
+        att = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", q, k,
+                       preferred_element_type=jnp.float32)
+            / jnp.sqrt(jnp.float32(mid)), axis=-1).astype(self.dtype)
+        y = jnp.einsum("bnm,bmc->bnc", att, v).reshape(b, fh, fw, c)
+        return x + y
+
+
+class _MFAB(nn.Module):
+    """Multi-scale fusion attention block (MAnet decoder stage).
+
+    Concat(upsampled deep, skip) -> two 3x3 conv-bn-relu -> channel
+    attention (squeeze-excitation, reduction 16) -> residual scale.
+    """
+
+    out_channels: int
+    reduction: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, deep, skip, train: bool = False):
+        y = _upsample_to(deep, *skip.shape[1:3])
+        y = jnp.concatenate([y, skip], axis=-1)
+        y = _conv_bn_relu(y, self.out_channels, 3, self.dtype, train,
+                          name="fuse1")
+        y = _conv_bn_relu(y, self.out_channels, 3, self.dtype, train,
+                          name="fuse2")
+        s = jnp.mean(y, axis=(1, 2), keepdims=True)
+        s = nn.Dense(max(self.out_channels // self.reduction, 4),
+                     dtype=self.dtype, param_dtype=jnp.float32,
+                     name="se_reduce")(s)
+        s = nn.Dense(self.out_channels, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="se_expand")(nn.relu(s))
+        return y * nn.sigmoid(s)
+
+
+class MAnet(_SegBase):
+    """Multi-scale Attention Net (smp.MAnet analogue).
+
+    PAB position attention on the bottleneck, then MFAB decoder stages
+    (concat skip + channel attention) up the pyramid, final plain
+    decoder block to full resolution.  Reference surface:
+    ``getattr(smp, MODEL_NAME)`` (src/models/train.py:570-576).
+    """
+
+    decoder_channels: Sequence[int] = (256, 128, 64, 32)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h, w = x.shape[1], x.shape[2]
+        feats = self.encode(x, train=train)
+        skips = [f.astype(self.dtype) for f in feats[1:5]]  # /2 /4 /8 /16
+        y = feats[5].astype(self.dtype)                      # /32
+        y = _PAB(y.shape[-1], dtype=self.dtype, name="pab")(y, train=train)
+
+        for i, (skip, ch) in enumerate(zip(reversed(skips),
+                                           self.decoder_channels)):
+            y = _MFAB(ch, dtype=self.dtype, name=f"mfab{i}")(
+                y, skip, train=train)
+
+        b, hh, ww, cc = y.shape
+        y = jnp.broadcast_to(y[:, :, None, :, None, :],
+                             (b, hh, 2, ww, 2, cc)).reshape(
+            b, hh * 2, ww * 2, cc)
+        y = _conv_bn_relu(y, 16, 3, self.dtype, train, name="final")
+        logits = nn.Conv(self.classes, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(y)
+        return _upsample_to(logits, h, w, "bilinear").astype(jnp.float32)

@@ -20,6 +20,14 @@ around how XLA compiles and how the VPU executes:
   application gate keeps per-image randomness).
 - **Photometric ops are branch-free batched elementwise** with
   per-image `where` gates -- pure VPU work that XLA fuses.
+- **Expensive low-probability members are compacted**: CLAHE (~50x the
+  VPU cost of its OneOf siblings) and the per-pixel warp gathers run on
+  a fixed mean+3sigma whole-image subset of the batch (gather subset,
+  transform, scatter back) instead of compute-everything-then-select;
+  over-budget images (P ~ 1e-3 per batch) skip that draw.  Pixel math
+  runs in bfloat16 (``AugmentConfig.compute_dtype``) -- half the HBM
+  traffic, and an ~8-bit mantissa matches the uint8 precision of the
+  reference's cv2/albumentations pipeline.
 
 Coverage vs the reference pipelines (weak=get_training_augmentation,
 strong=get_strong_augmentation):
@@ -57,6 +65,7 @@ strong=get_strong_augmentation):
 from __future__ import annotations
 
 import dataclasses
+import math
 import threading
 from functools import partial
 from typing import Optional, Tuple
@@ -135,6 +144,12 @@ class AugmentConfig:
     # rows >= 96 lanes at bench batch (128/4 * 3ch) -- lane packing over
     # group diversity.
     warp_groups: int = 4
+    # pixel-data dtype for the pipeline's intermediate math.  bfloat16
+    # halves the HBM traffic of every elementwise pass and gather; its
+    # ~8-bit mantissa matches the uint8 precision the reference's
+    # albumentations/cv2 pipeline computes in.  Coordinates, RNG params,
+    # CLAHE LUT math and the final normalize stay float32.
+    compute_dtype: str = "float32"
 
     @property
     def has_geometric(self) -> bool:
@@ -143,10 +158,11 @@ class AugmentConfig:
 
 
 # Reference weak pipeline: src/models/augmentation.py:8-38
-WEAK = AugmentConfig()
+WEAK = AugmentConfig(compute_dtype="bfloat16")
 
 # Reference strong pipeline: src/models/augmentation.py:40-88
 STRONG = AugmentConfig(
+    compute_dtype="bfloat16",
     p_rot90=0.7, p_flip=0.7, p_transpose=0.7,
     p_ssr=0.5, shift_limit=0.1, scale_limit=0.3, rotate_limit=60.0,
     p_noise=0.4, noise_std=(20.0 ** 0.5 / 255.0, 80.0 ** 0.5 / 255.0),
@@ -291,8 +307,11 @@ def _grid_sample_grouped(x, m, sx, sy, gate):
 
     g00, g01 = gat(y0i, x0i), gat(y0i, x1i)
     g10, g11 = gat(y1i, x0i), gat(y1i, x1i)
-    out = (g00 * (1 - fx) * (1 - fy) + g01 * fx * (1 - fy)
-           + g10 * (1 - fx) * fy + g11 * fx * fy)
+    # blend in the pixel dtype (bf16 production path): the corner terms
+    # dominate HBM traffic and f32 weights would upcast all four
+    fxd, fyd = fx.astype(x.dtype), fy.astype(x.dtype)
+    out = (g00 * (1 - fxd) * (1 - fyd) + g01 * fxd * (1 - fyd)
+           + g10 * (1 - fxd) * fyd + g11 * fxd * fyd)
     out = out.reshape(kg, h, w, g, che)[..., :ch]
     out = jnp.transpose(out, (0, 3, 1, 2, 4)).reshape(n, h, w, ch)
     x = jnp.where(gate[:, None, None, None], out, x)
@@ -311,20 +330,28 @@ def _identity_grid(h, w):
                         jnp.arange(w, dtype=jnp.float32), indexing="ij")
 
 
-def _ssr_warp_grouped(key, x, m, cfg: AugmentConfig):
+def _warp_kg(n_sub: int, che: int, requested: int) -> int:
+    """Group count for a warped sub-batch: as many magnitude draws as
+    lane packing allows (rows must keep >= 128 lanes -- narrow-row
+    gathers are the TPU cliff), capped at ``requested``, dividing n."""
+    kg_max = max(1, (n_sub * che) // 128)
+    return _n_groups(n_sub, min(requested, kg_max)) if n_sub > 8 \
+        else _n_groups(n_sub, requested)
+
+
+def _ssr_warp_grouped(key, x, m, do, cfg: AugmentConfig):
     """Shift-scale-rotate with per-group magnitude draws.
 
-    Each group of ``B / warp_groups`` images shares one (shift, scale,
-    angle) draw; each image still applies independently with prob
-    ``p_ssr`` (the reference draws magnitudes per image,
+    Each group of images shares one (shift, scale, angle) draw; each
+    image still applies independently via the ``do`` gate (the
+    reference draws magnitudes per image,
     src/models/augmentation.py:25-31; groups recover that distribution
     exactly for small batches and to within-group correlation at bench
     batch sizes, with the shared-grid gather economics intact).
     """
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
-    kg = _n_groups(n, cfg.warp_groups)
+    kg = _warp_kg(n, 4 if m is not None else 3, cfg.warp_groups)
     k = jax.random.split(key, 4)
-    do = jax.random.uniform(k[0], (n,)) < cfg.p_ssr
     shift = jax.random.uniform(k[1], (kg, 2), minval=-cfg.shift_limit,
                                maxval=cfg.shift_limit)
     scale = 1.0 + jax.random.uniform(k[2], (kg,), minval=-cfg.scale_limit,
@@ -345,20 +372,19 @@ def _ssr_warp_grouped(key, x, m, cfg: AugmentConfig):
     return _grid_sample_grouped(x, m, sx, sy, do)
 
 
-def _distort_warp_grouped(key, x, m, cfg: AugmentConfig):
+def _distort_warp_grouped(key, x, m, do, cfg: AugmentConfig):
     """OneOf {optical, grid, elastic} distortion with per-group fields.
 
     Device-native counterparts of the reference's albumentations
     distortion OneOf group (src/models/augmentation.py): each group of
     the batch draws one distortion type + one displacement field; each
-    image applies its group's field with prob ``p_distort``.  All three
+    image applies its group's field via the ``do`` gate.  All three
     reduce to "identity grid + a smooth displacement field", sampled
     with the grouped row-gather used by shift-scale-rotate.
     """
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
-    kg = _n_groups(n, cfg.warp_groups)
+    kg = _warp_kg(n, 4 if m is not None else 3, cfg.warp_groups)
     k = jax.random.split(key, 5)
-    do = jax.random.uniform(k[0], (n,)) < cfg.p_distort
     which = jax.random.randint(k[1], (kg,), 0, 3)
     yy, xx = _identity_grid(h, w)
 
@@ -391,6 +417,50 @@ def _distort_warp_grouped(key, x, m, cfg: AugmentConfig):
     dx = jnp.where(sel == 0, opt_dx, jnp.where(sel == 1, grid_dx, el_dx))
     dy = jnp.where(sel == 0, opt_dy, jnp.where(sel == 1, grid_dy, el_dy))
     return _grid_sample_grouped(x, m, xx[None] + dx, yy[None] + dy, do)
+
+
+def _warp_stage(key, x, m, cfg: AugmentConfig):
+    """SSR + distortion warps, run on a compacted any-warp image subset.
+
+    Per-pixel warp gathers are the most expensive pass in the pipeline;
+    at reference probabilities only ~1-(1-p_ssr)(1-p_distort) of images
+    take ANY warp.  Whole-image gather of a mean+3sigma subset, both
+    warps applied sequentially on the subset (same semantics as the
+    reference's independent SSR / distortion-OneOf draws), scatter
+    back.  Over-budget images (P ~ 1e-3) skip their warp; documented in
+    PARITY.md.
+    """
+    n = x.shape[0]
+    k_ssr, k_dis, k_g1, k_g2, k_prio = jax.random.split(key, 5)
+    do_ssr = (jax.random.uniform(k_g1, (n,)) < cfg.p_ssr) \
+        if cfg.p_ssr > 0 else jnp.zeros((n,), bool)
+    do_dis = (jax.random.uniform(k_g2, (n,)) < cfg.p_distort) \
+        if cfg.p_distort > 0 else jnp.zeros((n,), bool)
+    p_any = 1.0 - (1.0 - cfg.p_ssr) * (1.0 - cfg.p_distort)
+    budget = _subset_budget(n, p_any)
+
+    if budget >= n:
+        if cfg.p_ssr > 0:
+            x, m = _ssr_warp_grouped(k_ssr, x, m, do_ssr, cfg)
+        if cfg.p_distort > 0:
+            x, m = _distort_warp_grouped(k_dis, x, m, do_dis, cfg)
+        return x, m
+
+    want = do_ssr | do_dis
+    prio = jnp.where(want, jax.random.uniform(k_prio, (n,)), 2.0)
+    idx = jnp.argsort(prio)[:budget]
+    xs = jnp.take(x, idx, axis=0)
+    ms = jnp.take(m, idx, axis=0) if m is not None else None
+    if cfg.p_ssr > 0:
+        xs, ms = _ssr_warp_grouped(k_ssr, xs, ms,
+                                   jnp.take(do_ssr, idx), cfg)
+    if cfg.p_distort > 0:
+        xs, ms = _distort_warp_grouped(k_dis, xs, ms,
+                                       jnp.take(do_dis, idx), cfg)
+    x = x.at[idx].set(xs)
+    if m is not None:
+        m = m.at[idx].set(ms)
+    return x, m
 
 
 # ---------------------------------------------------------------------------
@@ -724,19 +794,58 @@ def _hsv_to_rgb(hsv):
     return jnp.stack([r, g, b], axis=-1)
 
 
-def _photometric_batch(key, x, cfg: AugmentConfig):
-    """All photometric ops, batched; per-image `where` gates (masks untouched)."""
+def _subset_budget(n: int, p: float) -> int:
+    """Static mean + 3 sigma whole-image budget for a per-image Bernoulli(p)
+    selection, rounded up to a multiple of 4 (keeps the CLAHE scan
+    chunking divisor-friendly).  P(binomial(n, p) > budget) ~ 1e-3."""
+    if n <= 8:
+        return n
+    return min(n, int(4 * math.ceil(
+        (n * p + 3.0 * math.sqrt(n * p * (1.0 - p))) / 4.0)))
+
+
+def _compact_apply(key, x, want, budget: int, fn):
+    """Apply ``fn`` to at most ``budget`` of the images selected by ``want``.
+
+    Gathers whole images (dense rows -- cheap on TPU, unlike per-pixel
+    gathers), applies ``fn`` to the (budget, H, W, C) subset, scatters
+    back.  Returns (out, served): ``out[i] == fn(x)[i]`` where served,
+    ``x[i]`` elsewhere; ``served == want`` unless more than ``budget``
+    images were selected (excess images are dropped at random).
+    """
     n = x.shape[0]
+    if budget >= n:
+        full = fn(x)
+        return jnp.where(want[:, None, None, None], full, x), want
+    prio = jnp.where(want, jax.random.uniform(key, (n,)), 2.0)
+    idx = jnp.argsort(prio)[:budget]
+    sub = fn(jnp.take(x, idx, axis=0))
+    out = x.at[idx].set(jnp.where(jnp.take(want, idx)[:, None, None, None],
+                                  sub.astype(x.dtype), jnp.take(x, idx, axis=0)))
+    served = (jnp.zeros((n,), bool).at[idx].set(True)) & want
+    return out, served
+
+
+def _photometric_batch(key, x, cfg: AugmentConfig):
+    """All photometric ops, batched; per-image `where` gates (masks untouched).
+
+    Runs in ``x.dtype`` (bf16 on the production path); per-image RNG
+    params are cast to it so f32 scalars don't silently upcast the
+    whole 400 MB batch per op.
+    """
+    n = x.shape[0]
+    dt = x.dtype
     k = jax.random.split(key, 16)
     u = lambda kk: jax.random.uniform(kk, (n,))
     gate = lambda d: d[:, None, None, None]
+    par = lambda a: a.astype(dt)[:, None, None, None]
 
     if cfg.p_noise > 0:
         do = u(k[0]) < cfg.p_noise
         std = jax.random.uniform(k[1], (n,), minval=cfg.noise_std[0],
                                  maxval=cfg.noise_std[1])
-        noise = jax.random.normal(k[2], x.shape) * std[:, None, None, None]
-        x = jnp.where(gate(do), jnp.clip(x + noise, 0.0, 1.0), x)
+        noise = jax.random.normal(k[2], x.shape, dtype=dt) * par(std)
+        x = jnp.where(gate(do), jnp.clip(x + noise, 0.0, 1.0).astype(dt), x)
 
     if cfg.p_blur > 0:
         # OneOf {motion, median, box}, per-image choice with the
@@ -767,27 +876,43 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
                                 maxval=cfg.emboss_alpha[1])
         es = jax.random.uniform(k[11], (n,), minval=cfg.emboss_strength[0],
                                 maxval=cfg.emboss_strength[1])
-        sharp = jnp.clip(_conv3x3_per_image(x, _sharpen_kernel(sa, sl)),
-                         0.0, 1.0)
-        emb = jnp.clip(_conv3x3_per_image(x, _emboss_kernel(ea, es)),
-                       0.0, 1.0)
+        sharp = jnp.clip(_conv3x3_per_image(x, _sharpen_kernel(sa, sl)
+                                            .astype(dt)), 0.0, 1.0)
+        emb = jnp.clip(_conv3x3_per_image(x, _emboss_kernel(ea, es)
+                                          .astype(dt)), 0.0, 1.0)
         b = jax.random.uniform(k[12], (n,), minval=-cfg.brightness_limit,
                                maxval=cfg.brightness_limit)
         c = 1.0 + jax.random.uniform(k[13], (n,), minval=-cfg.contrast_limit,
                                      maxval=cfg.contrast_limit)
-        bc = jnp.clip((x - 0.5) * c[:, None, None, None] + 0.5
-                      + b[:, None, None, None], 0.0, 1.0)
+        bc = jnp.clip((x - 0.5) * par(c) + 0.5 + par(b), 0.0, 1.0)
         use_clahe = (cfg.clahe_clip > 1.0
                      and _clahe_ok(x.shape[1], x.shape[2], cfg.clahe_tiles))
         if use_clahe:
-            kcl = jax.random.split(k[7])[1]
-            clip = jax.random.uniform(kcl, (n,), minval=1.0,
-                                      maxval=cfg.clahe_clip)
-            cl = _clahe_rgb(jnp.clip(x, 0.0, 1.0), clip, cfg.clahe_tiles)
-            chosen = jnp.where(
-                gate(uw < 0.25), cl,
-                jnp.where(gate(uw < 0.5), sharp,
-                          jnp.where(gate(uw < 0.75), emb, bc)))
+            # CLAHE is ~50x the VPU cost of the other OneOf members but
+            # applies to only p_color/4 of images; computing it for the
+            # whole batch (the usual branch-free pattern) dominated the
+            # step.  Compact: gather a fixed mean+3sigma budget of
+            # whole images (dense row gather -- cheap, unlike per-pixel
+            # gathers), run CLAHE on the subset, scatter back.  Images
+            # beyond the budget (P ~ 1e-3) fall back to identity for
+            # this OneOf draw; divergence documented in PARITY.md.
+            # (Per-image clip limits are drawn per subset SLOT -- an
+            # exchangeable iid draw, same distribution.)
+            kcl, kprio = jax.random.split(jax.random.split(k[7])[1])
+            want = do & (uw < 0.25)
+
+            def clahe_fn(sub):
+                clips = jax.random.uniform(kcl, (sub.shape[0],), minval=1.0,
+                                           maxval=cfg.clahe_clip)
+                return _clahe_rgb(
+                    jnp.clip(sub, 0.0, 1.0).astype(jnp.float32), clips,
+                    cfg.clahe_tiles).astype(dt)
+
+            budget = _subset_budget(n, cfg.p_color * 0.25)
+            cl, _ = _compact_apply(kprio, x, want, budget, clahe_fn)
+            rest = jnp.where(gate(uw < 0.5), sharp,
+                             jnp.where(gate(uw < 0.75), emb, bc))
+            chosen = jnp.where(gate(uw < 0.25), cl, rest)
         else:
             chosen = jnp.where(gate(uw < 1.0 / 3.0), sharp,
                                jnp.where(gate(uw < 2.0 / 3.0), emb, bc))
@@ -803,10 +928,11 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
         dv = jax.random.uniform(khsv[2], (n,), minval=-cfg.val_shift,
                                 maxval=cfg.val_shift)
         hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
+        p3 = lambda a: a.astype(dt)[:, None, None]
         hsv = jnp.stack([
-            (hsv[..., 0] + dh[:, None, None]) % 1.0,
-            jnp.clip(hsv[..., 1] + ds[:, None, None], 0.0, 1.0),
-            jnp.clip(hsv[..., 2] + dv[:, None, None], 0.0, 1.0),
+            (hsv[..., 0] + p3(dh)) % 1.0,
+            jnp.clip(hsv[..., 1] + p3(ds), 0.0, 1.0),
+            jnp.clip(hsv[..., 2] + p3(dv), 0.0, 1.0),
         ], axis=-1)
         x = jnp.where(gate(do), _hsv_to_rgb(hsv), x)
     return x
@@ -846,6 +972,7 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
                          f"(got {images.shape}); resize in the data pipeline")
     x = images.astype(jnp.float32)
     x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
+    x = x.astype(jnp.dtype(cfg.compute_dtype))
     n = x.shape[0]
     m = masks.astype(jnp.int32) if masks is not None else None
 
@@ -853,15 +980,11 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     if cfg.p_rot90 > 0 or cfg.p_flip > 0 or cfg.p_transpose > 0:
         a, b, c = _sample_dihedral(k_dih, n, cfg)
         x, m = _apply_dihedral(x, m, a, b, c)
-    if cfg.p_ssr > 0:
-        k_ssr, k_dis = jax.random.split(k_ssr)
-        x, m = _ssr_warp_grouped(k_ssr, x, m, cfg)
-        if cfg.p_distort > 0:
-            x, m = _distort_warp_grouped(k_dis, x, m, cfg)
-    elif cfg.p_distort > 0:
-        x, m = _distort_warp_grouped(k_ssr, x, m, cfg)
+    if cfg.p_ssr > 0 or cfg.p_distort > 0:
+        x, m = _warp_stage(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)
 
+    x = x.astype(jnp.float32)
     if normalize:
         x = (x - IMAGENET_MEAN) / IMAGENET_STD
     return x, m

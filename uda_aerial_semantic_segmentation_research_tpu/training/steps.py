@@ -130,6 +130,33 @@ def make_supervised_train_step(module, num_classes: int,
     return step
 
 
+def make_scan_driver(step, unroll: int = 1):
+    """Wrap a (state, key, *batch) step into one dispatch over S batches.
+
+    ``jax.lax.scan`` chains S step invocations inside ONE compiled
+    program: one host dispatch, one metrics pytree of stacked (S, ...)
+    leaves.  Over a remote runtime every dispatch costs tens of ms of
+    round-trip latency; scanning S steps amortizes that to 1/S while
+    executing the identical per-step program (steps already derive
+    their RNG from ``state.step``, so passing the same key yields
+    independent per-step streams).
+
+    Batch arrays gain a leading (S,) axis: ``images`` becomes
+    (S, B, H, W, C) etc.  The trainer's prefetcher accumulates S host
+    batches per call.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=())
+    def multi(state, key, *batches):
+        def body(st, xs):
+            st, metrics = step(st, key, *xs)
+            return st, metrics
+
+        return jax.lax.scan(body, state, batches, unroll=unroll)
+
+    return multi
+
+
 def make_eval_step(module, num_classes: int, class_weights=None):
     """(variables, uint8 images, masks) -> metrics (loss/iou/acc/hist)."""
 
