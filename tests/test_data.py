@@ -9,6 +9,10 @@ import pytest
 
 from tests.conftest import BATCH, CLASSES, SIZE
 
+# no jitted-model compiles here: part of the <3-min smoke tier
+pytestmark = pytest.mark.smoke
+
+
 
 @pytest.fixture(scope="module")
 def datasets(workspace):

@@ -12,6 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+
     AdversarialLoss,
     ConsistencyLoss,
     DiceLoss,
@@ -21,6 +22,9 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
     sigmoid_bce_with_logits,
     softmax_cross_entropy,
 )
+
+# no jitted-model compiles here: part of the <3-min smoke tier
+pytestmark = pytest.mark.smoke
 
 torch = pytest.importorskip("torch")
 F = torch.nn.functional

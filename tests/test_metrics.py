@@ -11,12 +11,16 @@ import pytest
 import jax.numpy as jnp
 
 from uda_aerial_semantic_segmentation_research_tpu.ops.metrics import (
+
     DomainAdaptationMetrics,
     SegmentationMetrics,
     accuracy_from_hist,
     confusion_matrix,
     iou_from_hist,
 )
+
+# no jitted-model compiles here: part of the <3-min smoke tier
+pytestmark = pytest.mark.smoke
 
 RNG = np.random.default_rng(7)
 C = 5

@@ -12,9 +12,13 @@ import numpy as np
 import pytest
 
 from uda_aerial_semantic_segmentation_research_tpu.training.phase_manager import (
+
     PhaseManager,
     TrainingPhase,
 )
+
+# no jitted-model compiles here: part of the <3-min smoke tier
+pytestmark = pytest.mark.smoke
 
 
 class FakeModel:

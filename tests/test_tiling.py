@@ -4,11 +4,15 @@ import numpy as np
 import pytest
 
 from uda_aerial_semantic_segmentation_research_tpu.data.tiling import (
+
     TiledRasterDataset,
     stitch_tiles,
     tile_grid,
     tile_image,
 )
+
+# no jitted-model compiles here: part of the <3-min smoke tier
+pytestmark = pytest.mark.smoke
 
 
 def test_tile_grid_covers_exactly():

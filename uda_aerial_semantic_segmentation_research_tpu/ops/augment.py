@@ -331,12 +331,14 @@ def _identity_grid(h, w):
 
 
 def _warp_kg(n_sub: int, che: int, requested: int) -> int:
-    """Group count for a warped sub-batch: as many magnitude draws as
-    lane packing allows (rows must keep >= 128 lanes -- narrow-row
-    gathers are the TPU cliff), capped at ``requested``, dividing n."""
-    kg_max = max(1, (n_sub * che) // 128)
-    return _n_groups(n_sub, min(requested, kg_max)) if n_sub > 8 \
-        else _n_groups(n_sub, requested)
+    """Group count for a warped sub-batch, i.e. how many independent
+    magnitude draws the batch gets.  Large sub-batches are clamped so
+    gather rows keep >= 128 lanes (narrow-row gathers are the TPU
+    cliff); at <= 32 images the absolute gather volume is small enough
+    that magnitude diversity wins over lane packing."""
+    if n_sub <= 32:
+        return _n_groups(n_sub, requested)
+    return _n_groups(n_sub, min(requested, max(1, (n_sub * che) // 128)))
 
 
 def _ssr_warp_grouped(key, x, m, do, cfg: AugmentConfig):
@@ -850,16 +852,39 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
     if cfg.p_blur > 0:
         # OneOf {motion, median, box}, per-image choice with the
         # reference's normalized member weights
-        # (src/models/augmentation.py:19-23)
+        # (src/models/augmentation.py:19-23).  All three members are
+        # computed only on the compacted blur subset (p_blur of the
+        # batch) -- the 4-direction motion sums plus the median sorting
+        # network are ~25 VPU passes, wasted on the ~80% of images that
+        # don't blur.
         do = u(k[3]) < cfg.p_blur
         uw = u(k[4])
         w0, w1, _ = cfg.blur_weights
         direction = jax.random.randint(k[5], (n,), 0, 4)
-        blurred = jnp.where(
-            gate(uw < w0), _motion_blur(x, cfg.blur_size, direction),
-            jnp.where(gate(uw < w0 + w1), _median_blur(x, cfg.blur_size),
-                      _box_blur(x, cfg.blur_size)))
-        x = jnp.where(gate(do), blurred, x)
+        # The OneOf choice and motion direction must follow the gathered
+        # images, so the compaction is inlined here rather than via
+        # _compact_apply.
+        budget = _subset_budget(n, cfg.p_blur)
+        if budget >= n:
+            blurred = jnp.where(
+                gate(uw < w0), _motion_blur(x, cfg.blur_size, direction),
+                jnp.where(gate(uw < w0 + w1),
+                          _median_blur(x, cfg.blur_size),
+                          _box_blur(x, cfg.blur_size)))
+            x = jnp.where(gate(do), blurred, x)
+        else:
+            kprio = jax.random.split(k[5])[0]
+            prio = jnp.where(do, jax.random.uniform(kprio, (n,)), 2.0)
+            idx = jnp.argsort(prio)[:budget]
+            sub = jnp.take(x, idx, axis=0)
+            uw_s = jnp.take(uw, idx)[:, None, None, None]
+            dir_s = jnp.take(direction, idx)
+            blurred = jnp.where(
+                uw_s < w0, _motion_blur(sub, cfg.blur_size, dir_s),
+                jnp.where(uw_s < w0 + w1, _median_blur(sub, cfg.blur_size),
+                          _box_blur(sub, cfg.blur_size)))
+            served = jnp.take(do, idx)[:, None, None, None]
+            x = x.at[idx].set(jnp.where(served, blurred, sub))
 
     if cfg.p_color > 0:
         # OneOf {CLAHE, sharpen, emboss, brightness/contrast}, uniform
