@@ -165,6 +165,7 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
     )
     from uda_aerial_semantic_segmentation_research_tpu.data.loader import (
         DataLoader,
+        prefetch_to_device,
     )
     from uda_aerial_semantic_segmentation_research_tpu.data.setup_test_data import (
         _synthetic_tile,
@@ -197,6 +198,7 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
 
     ds = DroneDataset(img_dir, mask_dir, balance_classes=False,
                       image_size=tile, verbose=False)
+    cached = ds.enable_raw_cache()
     loader = DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True,
                         num_workers=2)
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
@@ -205,11 +207,15 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
     state = TrainState.from_bundle(bundle, adam(1e-4))
     key = jax.random.key(0)
 
-    # warmup epoch: compile + page caches
-    for images, masks in loader.iter_raw():
-        state, metrics = step(state, key, jnp.asarray(images),
-                              jnp.asarray(masks.astype(np.int32)))
+    # warmup epoch: compile + populate the decoded-tile cache; timed
+    # separately as the COLD (decode-bound) number
+    t0 = _time.perf_counter()
+    n_cold = 0
+    for images, masks in prefetch_to_device(loader.iter_raw()):
+        state, metrics = step(state, key, images, masks)
+        n_cold += images.shape[0]
     float(metrics["loss"])
+    cold_dt = _time.perf_counter() - t0
 
     # device-only step time for the host-vs-device gap
     di = jnp.asarray(images)
@@ -226,9 +232,8 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
     n_seen = 0
     t0 = _time.perf_counter()
     for _ in range(epochs):
-        for images, masks in loader.iter_raw():
-            state, metrics = step(state, key, jnp.asarray(images),
-                                  jnp.asarray(masks.astype(np.int32)))
+        for images, masks in prefetch_to_device(loader.iter_raw()):
+            state, metrics = step(state, key, images, masks)
             n_seen += images.shape[0]
     float(metrics["loss"])
     dt = _time.perf_counter() - t0
@@ -244,6 +249,10 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
         "batch": batch,
         "device_step_ms": round(dev_ms, 2),
         "e2e_step_ms": round(dt / max(n_seen // batch, 1) * 1e3, 2),
+        "raw_cache": cached,
+        # first-epoch throughput incl. compile+decode: the decode-bound
+        # floor when the dataset exceeds the RAM cache budget
+        "cold_tiles_per_sec": round(n_cold / cold_dt * scale, 2),
         "native_loader": native.available(),
         "backend": jax.default_backend(),
         "smoke": smoke,

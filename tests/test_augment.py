@@ -378,3 +378,34 @@ def test_subset_budget_bounds():
     b = _subset_budget(128, 0.075)                     # WEAK color OneOf
     assert 12 <= b <= 32 and b % 4 == 0
     assert _subset_budget(128, 0.125) >= b             # STRONG needs more
+
+
+def test_grid_sample_matches_scipy_bilinear():
+    """_grid_sample_grouped == scipy map_coordinates(order=1, mode='mirror')
+    (mirror == reflect-101), including out-of-range sample positions --
+    pins the paired-corner gather rewrite to an independent reference."""
+    from scipy.ndimage import map_coordinates
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        _grid_sample_grouped,
+    )
+
+    rng = np.random.default_rng(9)
+    n, h, w = 4, 16, 16
+    x = rng.normal(size=(n, h, w, 3)).astype(np.float32)
+    kg = 2
+    # sample positions spilling well past the borders on both sides
+    sx = rng.uniform(-6, w + 5, size=(kg, h, w)).astype(np.float32)
+    sy = rng.uniform(-6, h + 5, size=(kg, h, w)).astype(np.float32)
+    gate = jnp.ones((n,), bool)
+
+    out, _ = _grid_sample_grouped(jnp.asarray(x), None, jnp.asarray(sx),
+                                  jnp.asarray(sy), gate)
+    out = np.asarray(out)
+
+    for i in range(n):
+        k = i // (n // kg)
+        for c in range(3):
+            want = map_coordinates(x[i, :, :, c], [sy[k], sx[k]],
+                                   order=1, mode="mirror")
+            np.testing.assert_allclose(out[i, :, :, c], want, atol=1e-4)

@@ -162,3 +162,25 @@ def test_abandoned_prefetch_iterator_releases_thread(datasets):
         gc.collect()
     time.sleep(0.5)
     assert threading.active_count() <= before + 1
+
+
+def test_raw_cache_roundtrip(workspace):
+    """enable_raw_cache serves identical pairs without re-decoding."""
+    import os
+
+    from uda_aerial_semantic_segmentation_research_tpu.config import Config
+    from uda_aerial_semantic_segmentation_research_tpu.data.dataset import (
+        DroneDataset,
+    )
+
+    ds = DroneDataset(
+        images_dir=os.path.join(Config.SAMPLE_DATA_DIR, "original_images"),
+        masks_dir=os.path.join(Config.SAMPLE_DATA_DIR, "label_images_semantic"),
+        balance_classes=False, image_size=32, verbose=False)
+    assert ds.enable_raw_cache()
+    i0, m0 = ds.load_raw(0)
+    # poison the decoder: cached path must not call it again
+    ds._decode_raw = lambda idx: (_ for _ in ()).throw(AssertionError("decoded twice"))
+    i1, m1 = ds.load_raw(0)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_array_equal(m0, m1)

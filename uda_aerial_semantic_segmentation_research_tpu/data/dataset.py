@@ -213,8 +213,31 @@ class DroneDataset:
 
         Hot path goes through the native C++ loader (DCT-scaled JPEG
         decode + resize directly into the output buffer,
-        native/loader.cpp); cv2 is the fallback.
+        native/loader.cpp); cv2 is the fallback.  With ``cache_raw``
+        (see ``enable_raw_cache``) decoded pairs are kept in RAM after
+        first decode -- on a 1-core host the JPEG decode is ~50 ms/tile
+        of pure CPU, the dominant cost of every epoch after the first.
         """
+        cache = getattr(self, "_raw_cache", None)
+        if cache is not None and idx in cache:
+            return cache[idx]
+        out = self._decode_raw(idx)
+        if cache is not None:
+            cache[idx] = out
+        return out
+
+    def enable_raw_cache(self, max_bytes: int = 4 << 30):
+        """Cache decoded tiles in RAM (skipped if the dataset exceeds
+        ``max_bytes``).  Returns True when enabled."""
+        if self.image_size is None:
+            return False
+        per = self.image_size * self.image_size * (3 + 4)
+        if per * len(self.images) > max_bytes:
+            return False
+        self._raw_cache = {}
+        return True
+
+    def _decode_raw(self, idx: int):
         img_path = os.path.join(self.images_dir, self.images[idx])
         mask_path = os.path.join(self.masks_dir, self.masks[idx])
 

@@ -282,6 +282,15 @@ def _grid_sample_grouped(x, m, sx, sy, gate):
     x1i = _reflect_index(x0.astype(jnp.int32) + 1, w)
     y0i = _reflect_index(y0.astype(jnp.int32), h)
     y1i = _reflect_index(y0.astype(jnp.int32) + 1, h)
+    # Reflect-101 maps consecutive integers to ADJACENT indices (possibly
+    # swapped), so each bilinear corner pair lives in two physically
+    # consecutive rows: gather both with ONE wide row read from a
+    # column-paired copy of the rows array (half the DMA descriptors at
+    # twice the transfer size -- row gathers here are descriptor-bound).
+    bx = jnp.minimum(x0i, x1i)
+    by = jnp.minimum(y0i, y1i)
+    swap_x = (x0i > x1i).reshape(kg * h * w, 1)
+    swap_y = (y0i > y1i).reshape(kg * h * w, 1)
 
     # Fold the group dim into ROWS: rows (K*H*W, G*CH), index = k*H*W +
     # y*w + x -- one flat row-gather (jnp.take), the contiguous-row
@@ -302,11 +311,26 @@ def _grid_sample_grouped(x, m, sx, sy, gate):
                          (0, 2, 3, 1, 4)).reshape(kg * h * w, g * che)
     base = (jnp.arange(kg, dtype=jnp.int32) * (h * w))[:, None, None]
 
-    def gat(yi, xi):
-        return jnp.take(rows, (base + yi * w + xi).reshape(-1), axis=0)
+    # rows4[r] = [pixel r, pixel r+1, pixel r+w, pixel r+w+1]: the whole
+    # 2x2 bilinear footprint in ONE contiguous row read (bx <= w-2 and
+    # by <= h-2 keep the +1/+w offsets inside the image)
+    gc = g * che
 
-    g00, g01 = gat(y0i, x0i), gat(y0i, x1i)
-    g10, g11 = gat(y1i, x0i), gat(y1i, x1i)
+    def shift(a, k):
+        return jnp.concatenate([a[k:], a[-1:].repeat(k, axis=0)], axis=0)
+
+    rows2 = jnp.concatenate([rows, shift(rows, 1)], axis=1)
+    rows4 = jnp.concatenate([rows2, shift(rows2, w)], axis=1)
+    p = jnp.take(rows4, (base + by * w + bx).reshape(-1), axis=0)
+
+    def pick(sw_y, sw_x):
+        half = jnp.where(sw_y, p[:, 2 * gc:], p[:, :2 * gc])
+        return jnp.where(sw_x, half[:, gc:], half[:, :gc])
+
+    g00 = pick(swap_y, swap_x)
+    g01 = pick(swap_y, ~swap_x)
+    g10 = pick(~swap_y, swap_x)
+    g11 = pick(~swap_y, ~swap_x)
     # blend in the pixel dtype (bf16 production path): the corner terms
     # dominate HBM traffic and f32 weights would upcast all four
     fxd, fyd = fx.astype(x.dtype), fy.astype(x.dtype)
