@@ -42,6 +42,9 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     if smoke:
         tile, batch_candidates, steps, warmup = 64, (4,), 5, 2
         encoder, classes = "resnet18", 7
+    elif mode == "infer" and batch_candidates == (128, 64, 32, 16, 8):
+        # forward-only fits (and is fastest at) twice the training batch
+        batch_candidates = (256, 128, 64, 32, 16, 8)
 
     n_chips = jax.device_count()
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,

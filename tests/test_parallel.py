@@ -201,3 +201,23 @@ def test_trainer_engages_mesh(workspace):
     trainer = SegmentationTrainer(bundle, "cpu")
     trainer.train(loader, val_loader, epochs=1, learning_rate=1e-3)
     assert trainer._mesh is not None, "mesh should have engaged at batch 8"
+
+
+def test_spatial_partition_matches_single_device(seg_bundle):
+    """Height-sharded forward == single-device forward (halo exchange
+    inserted by the SPMD partitioner reproduces exact receptive fields)."""
+    from uda_aerial_semantic_segmentation_research_tpu.parallel.spatial import (
+        spatial_forward,
+        spatial_mesh,
+    )
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (2, SIZE, SIZE, 3)).astype(np.float32))
+
+    ref = seg_bundle.module.apply(seg_bundle.variables, x, train=False)
+
+    mesh = spatial_mesh(2, 4)            # 2-way batch x 4-way height
+    out = spatial_forward(seg_bundle.module, seg_bundle.variables, x, mesh)
+    assert out.sharding.spec == P("data", "space")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -21,6 +21,12 @@ from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
     shard_batch,
 )
 
+from uda_aerial_semantic_segmentation_research_tpu.parallel.spatial import (
+    spatial_forward,
+    spatial_image_sharding,
+    spatial_mesh,
+)
+
 __all__ = [
     "create_mesh",
     "default_mesh",
@@ -28,4 +34,7 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "spatial_mesh",
+    "spatial_image_sharding",
+    "spatial_forward",
 ]

@@ -1,0 +1,69 @@
+"""Spatial partitioning of the convolution grid (halo exchange via SPMD).
+
+The reference has no sequence/context parallelism and none applies to a
+conv U-Net (SURVEY.md section 5.7); the honest spatial analogue is
+sharding the HEIGHT axis of a tile across chips so a raster tile larger
+than one chip's HBM still runs.  TPU-native formulation: a 2-D
+``Mesh(('data', 'space'))``, images sharded ``P('data', 'space')``
+(batch x height), parameters replicated -- the XLA SPMD partitioner
+inserts the conv halo exchanges (``ppermute`` of boundary rows) and the
+cross-shard reductions (BatchNorm statistics, pooling edges)
+automatically.  No hand-written collective is needed or wanted.
+
+Numerics are EXACT: a spatially-sharded forward equals the single-device
+forward bit-for-bit in eval mode (tests/test_parallel.py), because halo
+exchange reproduces the same receptive fields.
+
+Practical notes:
+- Height must divide the ``space`` axis; 2^k tile sizes over 2/4-way
+  space meshes always do.
+- Useful when (tile_h x tile_w x widest_activation) exceeds HBM --
+  e.g. full-resolution aerial rasters without pre-tiling.  For 512px
+  training tiles, plain data parallelism is strictly better (no halo
+  traffic); this module exists for the oversized-tile case.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def spatial_mesh(n_data: int, n_space: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D ``(data, space)`` mesh: batch parallel x height parallel."""
+    devices = list(devices) if devices is not None else jax.devices()
+    if n_data * n_space != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_space} needs {n_data * n_space} devices, "
+            f"have {len(devices)}")
+    grid = np.asarray(devices).reshape(n_data, n_space)
+    return Mesh(grid, ("data", "space"))
+
+
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images sharded batch x height (halo handled by XLA)."""
+    return NamedSharding(mesh, P("data", "space"))
+
+
+def spatial_forward(module, variables, images, mesh: Mesh,
+                    train: bool = False):
+    """Run ``module.apply`` with images sharded (batch, height) over
+    ``mesh`` and parameters replicated.
+
+    Returns logits with the SAME (batch, height) sharding.  ``images``
+    may be a host array or an already-placed global array.
+    """
+    img_sharding = spatial_image_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    x = jax.device_put(images, img_sharding)
+    v = jax.tree.map(lambda a: jax.device_put(a, rep), variables)
+
+    @jax.jit
+    def fwd(v, x):
+        return module.apply(v, x, train=train)
+
+    return fwd(v, x)

@@ -167,18 +167,39 @@ class EarlyStopping:
         return rates
 
 
-def _raw_batches(dataloader):
-    """Yield raw (uint8 images NHWC, int masks NHW) numpy batches.
+def _raw_batches(dataloader, place=None, depth: int = 2):
+    """Yield raw (uint8 images NHWC, int masks NHW) batches.
 
     Uses the loader's raw path (device-side augmentation) when available;
     otherwise assumes the iterable already yields (images, masks).
+
+    With ``place`` (the trainer's ``_place``), batches are transferred
+    ``depth`` ahead of consumption: ``jax.device_put``/sharded puts are
+    async, so the H2D copy of batch N+1 rides under the device compute
+    of batch N instead of serializing with it (the host link is the e2e
+    bottleneck on thin hosts -- BASELINE.md).
     """
     it = dataloader.iter_raw() if hasattr(dataloader, "iter_raw") else iter(dataloader)
-    for batch in it:
+
+    def norm(batch):
         if isinstance(batch, (tuple, list)) and len(batch) == 2:
-            yield batch[0], batch[1]
-        else:
-            yield batch, None
+            return batch[0], batch[1]
+        return batch, None
+
+    if place is None:
+        for batch in it:
+            yield norm(batch)
+        return
+
+    from collections import deque
+
+    q = deque()
+    for batch in it:
+        q.append(place(*norm(batch)))
+        if len(q) > depth:
+            yield q.popleft()
+    while q:
+        yield q.popleft()
 
 
 class SegmentationTrainer:
@@ -236,10 +257,12 @@ class SegmentationTrainer:
         return state
 
     def _place(self, *arrays):
-        """Shard a batch over the mesh (pass-through when single device
-        or the trailing batch doesn't divide the mesh)."""
+        """Ship a batch to the device(s): async ``device_put`` on a single
+        device, ``P('data')`` sharding over the mesh (pass-through only
+        when a trailing batch doesn't divide the mesh)."""
         if self._mesh is None:
-            return arrays
+            return tuple(jax.device_put(a) if a is not None else None
+                         for a in arrays)
         n = self._mesh.devices.size
         if any(a is not None and a.shape[0] % n for a in arrays):
             return arrays
@@ -380,11 +403,12 @@ class SegmentationTrainer:
         epoch_key = self._epoch_key(epoch)
         timer = StepTimer(warmup=1)
         pending = None  # (global_step, batch_idx, metrics, images, masks)
-        pbar = tqdm(_raw_batches(dataloader), total=n_total, desc=f"Epoch {epoch}")
+        pbar = tqdm(_raw_batches(dataloader, place=self._place),
+                    total=n_total, desc=f"Epoch {epoch}")
         for batch_idx, (images, masks) in enumerate(pbar):
             timer.items_per_step = images.shape[0]
             global_step = (epoch - 1) * (n_total or 1) + batch_idx
-            d_images, d_masks = self._place(images, masks)
+            d_images, d_masks = images, masks
             with timer.step(sync=None):
                 state, metrics = self._train_step(state, epoch_key,
                                                   d_images, d_masks)
