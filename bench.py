@@ -59,6 +59,58 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
             return state, {"loss": jnp.mean(preds.astype(jnp.float32))}
 
         step = infer_step
+    elif mode == "adv":
+        # phase-2 fused D-then-G update on mixed source/target batches
+        from uda_aerial_semantic_segmentation_research_tpu.models import (
+            create_discriminator,
+        )
+        from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+            AdversarialState,
+        )
+
+        disc = create_discriminator(input_channels=3, image_size=tile)
+        adv = step_lib.make_adversarial_train_step(bundle.module, disc.module,
+                                                   classes)
+
+        def make_adv_state():
+            return AdversarialState(seg=TrainState.from_bundle(bundle, adam(1e-4)),
+                                    disc=TrainState.from_bundle(disc, adam(1e-4)))
+
+        def adv_step(state, key, images, masks):
+            # target batch = shuffled source images (shapes are what matters)
+            return adv(state, key, images, masks, images[::-1])
+
+        step = adv_step
+    elif mode == "unsup":
+        # phase-3 dual-view consistency update on unlabeled target tiles
+        from uda_aerial_semantic_segmentation_research_tpu.models import (
+            create_discriminator,
+        )
+        from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+            FineTuningLoss,
+        )
+
+        disc = create_discriminator(input_channels=3, image_size=tile)
+        unsup = step_lib.make_unsupervised_train_step(
+            bundle.module, disc.module, classes, FineTuningLoss())
+
+        def make_unsup_state():
+            import jax as _jax
+
+            tx = adam(1e-4, clip_norm=1.0)
+            params = _jax.tree.map(jnp.array, {"seg": bundle.params,
+                                               "disc": disc.params})
+            stats = _jax.tree.map(jnp.array, {"seg": bundle.batch_stats,
+                                              "disc": disc.batch_stats})
+            return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                              batch_stats=stats, opt_state=tx.init(params),
+                              tx=tx)
+
+        def unsup_step(state, key, images, masks):
+            state, m = unsup(state, key, images, jnp.float32(1.0))
+            return state, {**m, "loss": m["total"]}
+
+        step = unsup_step
     else:
         step = step_lib.make_supervised_train_step(bundle.module, classes)
 
@@ -67,7 +119,12 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     flops_per_step = None
     for batch in batch_candidates:
         try:
-            state = TrainState.from_bundle(bundle, adam(1e-4))
+            if mode == "adv":
+                state = make_adv_state()
+            elif mode == "unsup":
+                state = make_unsup_state()
+            else:
+                state = TrainState.from_bundle(bundle, adam(1e-4))
             images = jnp.asarray(
                 rng.integers(0, 255, (batch, tile, tile, 3)).astype(np.uint8))
             masks = jnp.asarray(
@@ -155,10 +212,43 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
     the pure-device step_ms measured in the same run, so host-bound vs
     device-bound is read directly from the gap.
     """
+    import os
     import tempfile
-    import time as _time
 
     import cv2
+    import numpy as np
+
+    from uda_aerial_semantic_segmentation_research_tpu.data.setup_test_data import (
+        _synthetic_tile,
+    )
+
+    if smoke:
+        tile, batch, n_tiles, epochs = 64, 4, 16, 2
+        encoder, classes = "resnet18", 7
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="uda_e2e_bench_")
+    img_dir, mask_dir = f"{tmp}/images", f"{tmp}/masks"
+    os.makedirs(img_dir)
+    os.makedirs(mask_dir)
+    for i in range(n_tiles):
+        img, mask = _synthetic_tile(rng, tile, classes)
+        cv2.imwrite(f"{img_dir}/{i:04d}.jpg",
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(f"{mask_dir}/{i:04d}.png", mask)
+
+    try:
+        return _run_bench_e2e_body(img_dir, mask_dir, tile, batch,
+                                   epochs, encoder, classes, smoke)
+    finally:
+        import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_bench_e2e_body(img_dir, mask_dir, tile, batch, epochs,
+                        encoder, classes, smoke):
+    import time as _time
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -170,9 +260,6 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
         DataLoader,
         prefetch_to_device,
     )
-    from uda_aerial_semantic_segmentation_research_tpu.data.setup_test_data import (
-        _synthetic_tile,
-    )
     from uda_aerial_semantic_segmentation_research_tpu.data import native
     from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
     from uda_aerial_semantic_segmentation_research_tpu.training import (
@@ -182,22 +269,6 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
         TrainState,
         adam,
     )
-
-    if smoke:
-        tile, batch, n_tiles, epochs = 64, 4, 16, 2
-        encoder, classes = "resnet18", 7
-
-    rng = np.random.default_rng(0)
-    tmp = tempfile.mkdtemp(prefix="uda_e2e_bench_")
-    img_dir, mask_dir = f"{tmp}/images", f"{tmp}/masks"
-    import os
-    os.makedirs(img_dir)
-    os.makedirs(mask_dir)
-    for i in range(n_tiles):
-        img, mask = _synthetic_tile(rng, tile, classes)
-        cv2.imwrite(f"{img_dir}/{i:04d}.jpg",
-                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
-        cv2.imwrite(f"{mask_dir}/{i:04d}.png", mask)
 
     ds = DroneDataset(img_dir, mask_dir, balance_classes=False,
                       image_size=tile, verbose=False)
@@ -261,9 +332,6 @@ def run_bench_e2e(tile: int = 512, batch: int = 64, n_tiles: int = 256,
         "smoke": smoke,
     }
     print(json.dumps(out))
-
-    import shutil
-    shutil.rmtree(tmp, ignore_errors=True)
     return out
 
 
@@ -272,7 +340,8 @@ if __name__ == "__main__":
     p.add_argument("--smoke", action="store_true", help="tiny shapes, quick run")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--mode", choices=("train", "infer", "e2e"), default="train")
+    p.add_argument("--mode", choices=("train", "infer", "adv", "unsup", "e2e"),
+                   default="train")
     a = p.parse_args()
     if a.mode == "e2e":
         run_bench_e2e(tile=a.tile, smoke=a.smoke)

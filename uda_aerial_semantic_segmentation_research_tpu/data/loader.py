@@ -156,7 +156,8 @@ class DataLoader:
         return self._iter_batches(_unwrap_raw)
 
 
-def prefetch_to_device(iterator, size: int = 2, cast_masks_uint8: bool = True):
+def prefetch_to_device(iterator, size: int = 2, cast_masks_uint8: bool = True,
+                       put=None):
     """Overlap H2D transfers with device compute (flax-style prefetch).
 
     Wraps a host-batch iterator, issuing ``jax.device_put`` ``size``
@@ -164,24 +165,40 @@ def prefetch_to_device(iterator, size: int = 2, cast_masks_uint8: bool = True):
     rides under the compute of batch N.  Mask arrays are shipped as
     uint8 when their values fit (4x fewer bytes over the host link; the
     jitted steps cast to int32 on device).
+
+    ``put`` overrides the placement: a callable ``item -> placed item``
+    (e.g. a trainer's mesh-sharding ``_place``); the default is plain
+    ``jax.device_put`` with the uint8 mask narrowing.  This generator is
+    the ONE prefetch implementation -- trainers reach it through
+    ``training.train._raw_batches(place=...)``.
     """
     import collections
 
     import jax
     import numpy as np
 
+    # the uint8-fits decision is made ONCE per tuple position on the
+    # first batch (label ranges are fixed by the dataset) -- a per-batch
+    # min/max is two full host passes over the mask array, defeating the
+    # point of unburdening a thin host
+    narrow: dict = {}
+
     def ship(item):
-        def put(a):
+        def put(pos, a):
             a = np.asarray(a)
-            if (cast_masks_uint8 and a.dtype in (np.int32, np.int64)
-                    and a.size and a.min() >= 0 and a.max() < 256):
-                a = a.astype(np.uint8)
+            if cast_masks_uint8 and a.dtype in (np.int32, np.int64):
+                if pos not in narrow:
+                    narrow[pos] = bool(a.size and a.min() >= 0
+                                       and a.max() < 256)
+                if narrow[pos]:
+                    a = a.astype(np.uint8)
             return jax.device_put(a)
 
         if isinstance(item, tuple):
-            return tuple(put(a) for a in item)
-        return put(item)
+            return tuple(put(i, a) for i, a in enumerate(item))
+        return put(0, item)
 
+    ship = put or ship
     queue = collections.deque()
     it = iter(iterator)
     try:

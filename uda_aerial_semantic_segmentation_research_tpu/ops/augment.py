@@ -473,8 +473,7 @@ def _warp_stage(key, x, m, cfg: AugmentConfig):
         return x, m
 
     want = do_ssr | do_dis
-    prio = jnp.where(want, jax.random.uniform(k_prio, (n,)), 2.0)
-    idx = jnp.argsort(prio)[:budget]
+    idx = _compact_select(k_prio, want, budget)
     xs = jnp.take(x, idx, axis=0)
     ms = jnp.take(m, idx, axis=0) if m is not None else None
     if cfg.p_ssr > 0:
@@ -830,6 +829,16 @@ def _subset_budget(n: int, p: float) -> int:
         (n * p + 3.0 * math.sqrt(n * p * (1.0 - p))) / 4.0)))
 
 
+def _compact_select(key, want, budget: int):
+    """Indices of at most ``budget`` images from the ``want`` mask
+    (selected images first, random drop beyond the budget).  The single
+    home of the priority/argsort selection used by every compaction
+    site."""
+    n = want.shape[0]
+    prio = jnp.where(want, jax.random.uniform(key, (n,)), 2.0)
+    return jnp.argsort(prio)[:budget]
+
+
 def _compact_apply(key, x, want, budget: int, fn):
     """Apply ``fn`` to at most ``budget`` of the images selected by ``want``.
 
@@ -843,8 +852,7 @@ def _compact_apply(key, x, want, budget: int, fn):
     if budget >= n:
         full = fn(x)
         return jnp.where(want[:, None, None, None], full, x), want
-    prio = jnp.where(want, jax.random.uniform(key, (n,)), 2.0)
-    idx = jnp.argsort(prio)[:budget]
+    idx = _compact_select(key, want, budget)
     sub = fn(jnp.take(x, idx, axis=0))
     out = x.at[idx].set(jnp.where(jnp.take(want, idx)[:, None, None, None],
                                   sub.astype(x.dtype), jnp.take(x, idx, axis=0)))
@@ -861,7 +869,10 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
     """
     n = x.shape[0]
     dt = x.dtype
-    k = jax.random.split(key, 16)
+    # every consumer below gets its OWN key: re-splitting an already
+    # consumed key reads the same threefry counter positions and couples
+    # draws that must be independent
+    k = jax.random.split(key, 20)
     u = lambda kk: jax.random.uniform(kk, (n,))
     gate = lambda d: d[:, None, None, None]
     par = lambda a: a.astype(dt)[:, None, None, None]
@@ -897,9 +908,7 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
                           _box_blur(x, cfg.blur_size)))
             x = jnp.where(gate(do), blurred, x)
         else:
-            kprio = jax.random.split(k[5])[0]
-            prio = jnp.where(do, jax.random.uniform(kprio, (n,)), 2.0)
-            idx = jnp.argsort(prio)[:budget]
+            idx = _compact_select(k[16], do, budget)
             sub = jnp.take(x, idx, axis=0)
             uw_s = jnp.take(uw, idx)[:, None, None, None]
             dir_s = jnp.take(direction, idx)
@@ -914,21 +923,14 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
         # OneOf {CLAHE, sharpen, emboss, brightness/contrast}, uniform
         # member weights like the reference's equal-p OneOf
         # (src/models/augmentation.py:29-34); when CLAHE is disabled or
-        # the tile geometry doesn't divide, its slot redistributes
+        # the tile geometry doesn't divide, its slot redistributes.
+        # CLAHE (~50x the VPU cost of its siblings) and the two 9-tap
+        # per-image convs (sharpen/emboss) run only on compacted subsets
+        # of the images that actually draw them; brightness/contrast is
+        # one fused pass and stays full-batch.  Per-image parameters are
+        # drawn per subset SLOT -- exchangeable iid, same distribution.
         do = u(k[6]) < cfg.p_color
         uw = u(k[7])
-        sa = jax.random.uniform(k[8], (n,), minval=cfg.sharpen_alpha[0],
-                                maxval=cfg.sharpen_alpha[1])
-        sl = jax.random.uniform(k[9], (n,), minval=cfg.sharpen_lightness[0],
-                                maxval=cfg.sharpen_lightness[1])
-        ea = jax.random.uniform(k[10], (n,), minval=cfg.emboss_alpha[0],
-                                maxval=cfg.emboss_alpha[1])
-        es = jax.random.uniform(k[11], (n,), minval=cfg.emboss_strength[0],
-                                maxval=cfg.emboss_strength[1])
-        sharp = jnp.clip(_conv3x3_per_image(x, _sharpen_kernel(sa, sl)
-                                            .astype(dt)), 0.0, 1.0)
-        emb = jnp.clip(_conv3x3_per_image(x, _emboss_kernel(ea, es)
-                                          .astype(dt)), 0.0, 1.0)
         b = jax.random.uniform(k[12], (n,), minval=-cfg.brightness_limit,
                                maxval=cfg.brightness_limit)
         c = 1.0 + jax.random.uniform(k[13], (n,), minval=-cfg.contrast_limit,
@@ -936,35 +938,59 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
         bc = jnp.clip((x - 0.5) * par(c) + 0.5 + par(b), 0.0, 1.0)
         use_clahe = (cfg.clahe_clip > 1.0
                      and _clahe_ok(x.shape[1], x.shape[2], cfg.clahe_tiles))
+
+        # sharpen/emboss: members [se_lo, se_hi) of the OneOf draw
+        se_lo, se_hi = (0.25, 0.75) if use_clahe else (0.0, 2.0 / 3.0)
+        se_mid = (se_lo + se_hi) / 2.0
+        want_se = do & (uw >= se_lo) & (uw < se_hi)
+
+        def se_members(sub):
+            m = sub.shape[0]
+            sa = jax.random.uniform(k[8], (m,), minval=cfg.sharpen_alpha[0],
+                                    maxval=cfg.sharpen_alpha[1])
+            sl = jax.random.uniform(k[9], (m,),
+                                    minval=cfg.sharpen_lightness[0],
+                                    maxval=cfg.sharpen_lightness[1])
+            ea = jax.random.uniform(k[10], (m,), minval=cfg.emboss_alpha[0],
+                                    maxval=cfg.emboss_alpha[1])
+            es = jax.random.uniform(k[11], (m,),
+                                    minval=cfg.emboss_strength[0],
+                                    maxval=cfg.emboss_strength[1])
+            sharp = jnp.clip(_conv3x3_per_image(sub, _sharpen_kernel(sa, sl)
+                                                .astype(dt)), 0.0, 1.0)
+            emb = jnp.clip(_conv3x3_per_image(sub, _emboss_kernel(ea, es)
+                                              .astype(dt)), 0.0, 1.0)
+            return sharp, emb
+
+        budget_se = _subset_budget(n, cfg.p_color * (se_hi - se_lo))
+        if budget_se >= n:
+            sharp, emb = se_members(x)
+            se = jnp.where(gate(uw < se_mid), sharp, emb)
+        else:
+            idx = _compact_select(k[19], want_se, budget_se)
+            sub = jnp.take(x, idx, axis=0)
+            sharp_s, emb_s = se_members(sub)
+            uw_s = jnp.take(uw, idx)[:, None, None, None]
+            want_s = jnp.take(want_se, idx)[:, None, None, None]
+            se_sub = jnp.where(uw_s < se_mid, sharp_s, emb_s)
+            se = x.at[idx].set(jnp.where(want_s, se_sub, sub))
+
         if use_clahe:
-            # CLAHE is ~50x the VPU cost of the other OneOf members but
-            # applies to only p_color/4 of images; computing it for the
-            # whole batch (the usual branch-free pattern) dominated the
-            # step.  Compact: gather a fixed mean+3sigma budget of
-            # whole images (dense row gather -- cheap, unlike per-pixel
-            # gathers), run CLAHE on the subset, scatter back.  Images
-            # beyond the budget (P ~ 1e-3) fall back to identity for
-            # this OneOf draw; divergence documented in PARITY.md.
-            # (Per-image clip limits are drawn per subset SLOT -- an
-            # exchangeable iid draw, same distribution.)
-            kcl, kprio = jax.random.split(jax.random.split(k[7])[1])
-            want = do & (uw < 0.25)
+            want_cl = do & (uw < 0.25)
 
             def clahe_fn(sub):
-                clips = jax.random.uniform(kcl, (sub.shape[0],), minval=1.0,
-                                           maxval=cfg.clahe_clip)
+                clips = jax.random.uniform(k[17], (sub.shape[0],),
+                                           minval=1.0, maxval=cfg.clahe_clip)
                 return _clahe_rgb(
                     jnp.clip(sub, 0.0, 1.0).astype(jnp.float32), clips,
                     cfg.clahe_tiles).astype(dt)
 
-            budget = _subset_budget(n, cfg.p_color * 0.25)
-            cl, _ = _compact_apply(kprio, x, want, budget, clahe_fn)
-            rest = jnp.where(gate(uw < 0.5), sharp,
-                             jnp.where(gate(uw < 0.75), emb, bc))
-            chosen = jnp.where(gate(uw < 0.25), cl, rest)
+            budget_cl = _subset_budget(n, cfg.p_color * 0.25)
+            cl, _ = _compact_apply(k[18], x, want_cl, budget_cl, clahe_fn)
+            chosen = jnp.where(gate(uw < 0.25), cl,
+                               jnp.where(gate(uw < 0.75), se, bc))
         else:
-            chosen = jnp.where(gate(uw < 1.0 / 3.0), sharp,
-                               jnp.where(gate(uw < 2.0 / 3.0), emb, bc))
+            chosen = jnp.where(gate(uw < 2.0 / 3.0), se, bc)
         x = jnp.where(gate(do), chosen, x)
 
     if cfg.p_hsv > 0:

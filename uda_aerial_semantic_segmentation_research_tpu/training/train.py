@@ -191,15 +191,12 @@ def _raw_batches(dataloader, place=None, depth: int = 2):
             yield norm(batch)
         return
 
-    from collections import deque
+    from uda_aerial_semantic_segmentation_research_tpu.data.loader import (
+        prefetch_to_device,
+    )
 
-    q = deque()
-    for batch in it:
-        q.append(place(*norm(batch)))
-        if len(q) > depth:
-            yield q.popleft()
-    while q:
-        yield q.popleft()
+    yield from prefetch_to_device((norm(b) for b in it), size=depth,
+                                  put=lambda item: place(*item))
 
 
 class SegmentationTrainer:
