@@ -26,9 +26,16 @@ Status notes:
   a 1.5 GB transpose each way (measured 480 vs 449 ms/step at
   B=128 @ 512px), so the XLA CE stays production; the kernel is kept
   for (C, N)-native callers and as the layout-rule regression test.
-- ``dihedral_normalize``: blocked on Mosaic's missing ``rev``
-  (jnp.flip) lowering for the TC kernel type; interpreter-validated,
-  XLA dihedral path (ops/augment._apply_dihedral) remains production.
+- ``dihedral_normalize``: COMPILES AND RUNS ON THE TPU.  Three Mosaic
+  gaps were engineered around: no ``rev`` lowering (flips run as gated
+  anti-identity permutation matmuls on the MXU), no slicing of 3-wide
+  channel-minor blocks (channel-planar (B, C, H, W) layout, grid
+  (B, C)), no select over i1 vectors (operands cast to f32 first).
+  On-chip at B=128 @ 512px: 11.6 ms exact (HIGHEST) / 4.8 ms at
+  default MXU precision (< half a uint8 LSB error) vs 18.4 ms for the
+  XLA dihedral passes; masks exact at any precision.  The XLA path
+  (ops/augment._apply_dihedral) remains production because its selects
+  fuse into the surrounding augmentation program.
 """
 
 from __future__ import annotations
@@ -48,46 +55,81 @@ _MEAN = tuple(float(v) for v in Config.NORMALIZE_MEAN)
 _STD = tuple(float(v) for v in Config.NORMALIZE_STD)
 
 
-def _dihedral_norm_kernel(flags_ref, img_ref, stats_ref, out_ref, *,
-                          normalize: bool):
-    """One image: dequant -> gated transpose/flip-x/flip-y -> normalize.
+def _flip_mats(bits, n: int):
+    """Gated reversal operators: (Ry, Rx) where R is the anti-identity
+    when the flip bit is set, else identity.
 
-    ``stats_ref``: (2, C) VMEM block holding [mean, std] (kernels may not
-    capture traced constants; channel stats arrive as an input).
+    Mosaic's TC kernels have no ``rev`` lowering; a reversal is instead
+    ONE permutation matmul on the MXU (entries are 0/1, so ``P @ x``
+    merely relocates values -- exact in any dtype).  Selecting between
+    identity and anti-identity folds the per-image gate into the
+    operand, keeping the kernel branch-free.
     """
-    b = pl.program_id(0)
-    bits = flags_ref[b]
-    # Mosaic has no direct uint8 -> f32 cast; hop through int32
-    x = img_ref[:].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
-
-    do_t = (bits & 1) != 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    # select over f32 vectors: Mosaic has no lowering for selects on
+    # boolean (i1) vector operands
+    eye = (rows == cols).astype(jnp.float32)
+    anti = (rows == (n - 1) - cols).astype(jnp.float32)
     do_fx = (bits & 2) != 0
     do_fy = (bits & 4) != 0
-    x = jnp.where(do_t, jnp.swapaxes(x, 0, 1), x)
-    x = jnp.where(do_fx, jnp.flip(x, axis=1), x)
-    x = jnp.where(do_fy, jnp.flip(x, axis=0), x)
+    rx = jnp.where(do_fx, anti, eye)
+    ry = jnp.where(do_fy, anti, eye)
+    return ry, rx
 
+
+def _dihedral_norm_kernel(flags_ref, img_ref, out_ref, *, normalize: bool,
+                          precision):
+    """One (image, channel) PLANE: dequant -> gated dihedral -> normalize.
+
+    Channel-planar blocks (1, 1, H, W): the lane dimension is W (tile-
+    aligned) instead of a 3-wide channel minor, which Mosaic cannot
+    slice.  The ImageNet stats are STATIC module constants, selected by
+    the channel grid index (a (2, C) operand block cannot satisfy the
+    (8, 128) block-divisibility rule).  Flips run as gated permutation
+    matmuls (see ``_flip_mats``); transpose uses Mosaic's native
+    ``swapaxes``.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(1)
+    bits = flags_ref[b]
+    # Mosaic has no direct uint8 -> f32 cast; hop through int32
+    x = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32) * (1.0 / 255.0)
+
+    do_t = (bits & 1) != 0
+    x = jnp.where(do_t, jnp.swapaxes(x, 0, 1), x)
+    ry, rx = _flip_mats(bits, x.shape[0])
+    # HIGHEST -> bit-exact relocation (measured 11.6 ms at B=128 @
+    # 512px); DEFAULT -> bf16 MXU passes, error < half a uint8 LSB,
+    # 4.8 ms.  Both beat the 18.4 ms XLA dihedral path.
+    x = jax.lax.dot(ry, jax.lax.dot(x, rx, precision=precision),
+                    precision=precision)
     if normalize:
-        x = (x - stats_ref[0]) / stats_ref[1]
-    out_ref[:] = x
+        mean = jnp.where(c == 0, _MEAN[0],
+                         jnp.where(c == 1, _MEAN[1], _MEAN[2]))
+        std = jnp.where(c == 0, _STD[0],
+                        jnp.where(c == 1, _STD[1], _STD[2]))
+        x = (x - mean) / std
+    out_ref[0, 0] = x
 
 
 def _dihedral_mask_kernel(flags_ref, mask_ref, out_ref):
     b = pl.program_id(0)
     bits = flags_ref[b]
-    m = mask_ref[:]
+    m = mask_ref[:].astype(jnp.float32)   # labels < 2^24: exact in f32
     do_t = (bits & 1) != 0
-    do_fx = (bits & 2) != 0
-    do_fy = (bits & 4) != 0
     m = jnp.where(do_t, jnp.swapaxes(m, 0, 1), m)
-    m = jnp.where(do_fx, jnp.flip(m, axis=1), m)
-    m = jnp.where(do_fy, jnp.flip(m, axis=0), m)
-    out_ref[:] = m
+    ry, rx = _flip_mats(bits, m.shape[0])
+    # default precision is exact here: labels < 256 are representable in
+    # bf16 and each output accumulates exactly one nonzero product
+    m = jax.lax.dot(ry, jax.lax.dot(m, rx))
+    out_ref[:] = m.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("normalize", "interpret"))
+@partial(jax.jit, static_argnames=("normalize", "interpret", "precision"))
 def dihedral_normalize(images, flags, masks=None, *, normalize: bool = False,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       precision=jax.lax.Precision.HIGHEST):
     """Fused per-image dihedral + dequant (+ ImageNet normalize).
 
     Args:
@@ -105,29 +147,27 @@ def dihedral_normalize(images, flags, masks=None, *, normalize: bool = False,
         raise ValueError("dihedral kernel requires square tiles")
     flags = flags.astype(jnp.int32)
 
-    stats = jnp.stack([jnp.asarray(_MEAN, jnp.float32),
-                       jnp.asarray(_STD, jnp.float32)])
-
+    # channel-planar layout: (B, C, H, W) so each program's block has a
+    # tile-aligned (H, W) trailing shape (a 3-wide channel-minor block
+    # is unsliceable under Mosaic's (8, 128) tiling)
+    planar = jnp.transpose(images, (0, 3, 1, 2))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),
+        grid=(b, c),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, flags: (i, 0, 0, 0)),
-            pl.BlockSpec((2, c), lambda i, flags: (0, 0)),
+            pl.BlockSpec((1, 1, h, w), lambda i, j, flags: (i, j, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, flags: (i, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, h, w), lambda i, j, flags: (i, j, 0, 0)),
     )
 
-    def img_kernel(flags_ref, img_ref, stats_ref, out_ref):
-        _dihedral_norm_kernel(flags_ref, img_ref.at[0], stats_ref,
-                              out_ref.at[0], normalize=normalize)
-
     out = pl.pallas_call(
-        img_kernel,
+        partial(_dihedral_norm_kernel, normalize=normalize,
+                precision=precision),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), jnp.float32),
         interpret=interpret,
-    )(flags, images, stats)
+    )(flags, planar)
+    out = jnp.transpose(out, (0, 2, 3, 1))
 
     out_mask = None
     if masks is not None:
