@@ -23,6 +23,26 @@ import sys
 import time
 
 
+def _bf16_peak_flops(device_kind: str):
+    """(peak bf16 FLOP/s per chip, matched label) from the device kind.
+
+    Published per-chip bf16 peaks; first substring match wins (the
+    "lite" variants must match before their full-size siblings).
+    Unknown kinds fall back to the v5e figure, labeled as such.
+    """
+    kind = device_kind.lower()
+    table = [
+        ("v6 lite", 918e12), ("v6e", 918e12),
+        ("v5 lite", 197e12), ("v5litepod", 197e12), ("v5e", 197e12),
+        ("v5p", 459e12), ("v5", 459e12),
+        ("v4", 275e12), ("v3", 123e12), ("v2", 46e12),
+    ]
+    for sub, peak in table:
+        if sub in kind:
+            return peak, sub
+    return 197e12, "v5e?(fallback)"
+
+
 def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
               steps: int = 20, warmup: int = 3, encoder: str = "resnet34",
               classes: int = 23, smoke: bool = False, mode: str = "train"):
@@ -45,10 +65,17 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     elif mode == "infer" and batch_candidates == (128, 64, 32, 16, 8):
         # forward-only fits (and is fastest at) twice the training batch
         batch_candidates = (256, 128, 64, 32, 16, 8)
+    elif mode == "unsup" and batch_candidates == (128, 64, 32, 16, 8):
+        # remat makes B=64 fit (three grad-bearing forwards at 512px
+        # OOMed beyond B=16 without it); start there
+        batch_candidates = (64, 32, 16, 8)
 
     n_chips = jax.device_count()
+    # phase 3 rematerializes per-block: three grad-bearing forwards at
+    # 512px exceed HBM otherwise (BASELINE.md per-phase table)
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
-                         classes=classes, image_size=tile)
+                         classes=classes, image_size=tile,
+                         remat=(mode == "unsup" and not smoke))
     if mode == "infer":
         # serving path: normalize + forward + argmax, jitted, no grads
         predict = step_lib.make_predict_step(bundle.module)
@@ -187,14 +214,18 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         "encoder": encoder,
         "smoke": smoke,
     }
-    # MFU against the v5e bf16 peak (197 TFLOP/s/chip), from the
-    # compiler's own FLOP count.  The physical single-chip ceiling for
-    # this step is ~1,000 tiles/s at 100% MFU (see BASELINE.md roofline);
-    # the 2,000 north-star in vs_baseline is aspirational beyond it.
+    # MFU against the chip generation's bf16 peak, resolved from
+    # device_kind (v5e fallback), using the compiler's own FLOP count.
+    # The physical single-chip ceiling for this step on v5e is ~1,000
+    # tiles/s at 100% MFU (see BASELINE.md roofline); the 2,000
+    # north-star in vs_baseline is aspirational beyond it.
     if flops_per_step and jax.default_backend() == "tpu":
-        peak = 197e12 * n_chips
+        peak_per_chip, kind = _bf16_peak_flops(jax.devices()[0].device_kind)
+        peak = peak_per_chip * n_chips
         mfu = (flops_per_step / (result["step_ms"] / 1e3)) / peak
         out["mfu"] = round(mfu, 4)
+        out["mfu_peak_tflops"] = round(peak_per_chip / 1e12)
+        out["mfu_chip"] = kind
         out["tflops_per_step"] = round(flops_per_step / 1e12, 2)
     print(json.dumps(out))
     return out

@@ -229,6 +229,90 @@ def test_fused_decoder_matches_naive(batch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_packed_conv_matches_lax_conv():
+    """conv3x3_packed == lax 3x3 SAME conv, forward and both gradients
+    (the 2x2 space-to-depth lane packing is a pure execution-schedule
+    change; ops/packed_conv.py)."""
+    from uda_aerial_semantic_segmentation_research_tpu.ops.packed_conv import (
+        conv3x3_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, 5)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 5, 7)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(2, 16, 12, 7)).astype(np.float32))
+
+    def ref_conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    np.testing.assert_allclose(np.asarray(conv3x3_packed(x, k)),
+                               np.asarray(ref_conv(x, k)),
+                               atol=1e-5, rtol=1e-5)
+    gx_r, gk_r = jax.grad(lambda x, k: (ref_conv(x, k) * co).sum(),
+                          argnums=(0, 1))(x, k)
+    gx_p, gk_p = jax.grad(lambda x, k: (conv3x3_packed(x, k) * co).sum(),
+                          argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_packed_decoder_matches_plain(batch):
+    """packed_decoder=True: identical parameter tree AND numerically
+    equal forward to the plain Unet (same variables)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models.unet import Unet
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    images, _ = batch
+    x = normalize_images(jnp.asarray(images))
+    packed = Unet(encoder_name="resnet18", classes=CLASSES,
+                  dtype=jnp.float32, packed_decoder=True)
+    plain = Unet(encoder_name="resnet18", classes=CLASSES,
+                 dtype=jnp.float32, packed_decoder=False)
+    vp = packed.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    vn = plain.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    assert (jax.tree.structure(vp["params"])
+            == jax.tree.structure(vn["params"]))
+    y_p = packed.apply(vp, x)
+    y_n = plain.apply(vp, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_n),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_remat_unet_matches_plain(batch):
+    """remat=True: same parameter tree; one supervised train step gives
+    identical loss and updated params (rematerialization must be a pure
+    memory/schedule change)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        steps as step_lib,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+        TrainState,
+        adam,
+    )
+
+    images, masks = batch
+    key = jax.random.key(2)
+    outs = {}
+    for rm in (False, True):
+        b = create_unet(encoder_name="resnet18", classes=CLASSES,
+                        image_size=SIZE, encoder_weights=None,
+                        dtype=jnp.float32, remat=rm)
+        step = step_lib.make_supervised_train_step(b.module, CLASSES)
+        st, m = step(TrainState.from_bundle(b, adam(1e-3)), key,
+                     jnp.asarray(images), jnp.asarray(masks))
+        outs[rm] = (float(m["loss"]), jax.tree.leaves(st.params))
+    assert outs[False][0] == pytest.approx(outs[True][0], abs=1e-6)
+    for a, b_ in zip(outs[False][1], outs[True][1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-6)
+
+
 def test_mobilenet_v2_encoder(batch):
     """MobileNetV2 encoder: smp-style 6-level pyramid with the
     (3, 16, 24, 32, 96, 1280) channel signature."""

@@ -203,6 +203,85 @@ def test_trainer_engages_mesh(workspace):
     assert trainer._mesh is not None, "mesh should have engaged at batch 8"
 
 
+def test_adversarial_step_matches_single_device(seg_bundle, disc_bundle):
+    """8-way sharded fused D-then-G step == single-device on the same
+    global batch (dual TrainStates: both gradient psums + both models'
+    BatchNorm cross-replica stats must line up)."""
+    import optax
+
+    from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+        AdversarialState,
+    )
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    msk = rng.integers(0, CLASSES, (N_DEV, SIZE, SIZE)).astype(np.int32)
+    tgt = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    step = step_lib.make_adversarial_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, aug_cfg=NONE)
+    key = jax.random.key(5)
+
+    def fresh():
+        return AdversarialState(
+            seg=TrainState.from_bundle(seg_bundle, optax.sgd(0.1)),
+            disc=TrainState.from_bundle(disc_bundle, optax.sgd(0.1)))
+
+    s1, m1 = step(fresh(), key, src, msk, tgt)
+
+    mesh = create_mesh(jax.devices()[:N_DEV])
+    k8 = jax.device_put(key, NamedSharding(mesh, P()))
+    s8, m8 = step(replicate(fresh(), mesh), k8, shard_batch(src, mesh),
+                  shard_batch(msk, mesh), shard_batch(tgt, mesh))
+
+    for name in ("loss", "d_loss", "seg_loss"):
+        assert abs(float(m1[name]) - float(m8[name])) < 1e-4, name
+    for p1, p8 in zip(jax.tree.leaves((s1.seg.params, s1.disc.params)),
+                      jax.tree.leaves((s8.seg.params, s8.disc.params))):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+    assert jax.tree.leaves(s8.disc.params)[0].sharding.is_fully_replicated
+
+
+def test_unsupervised_step_matches_single_device(seg_bundle, disc_bundle):
+    """8-way sharded phase-3 step == single-device: dict-pytree params
+    {seg, disc}, joint gradient, and the in-step finite guard all under
+    SPMD sharding."""
+    import optax
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        FineTuningLoss,
+    )
+
+    rng = np.random.default_rng(6)
+    tgt = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    step = step_lib.make_unsupervised_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, FineTuningLoss(),
+        aug_cfg=NONE)
+    key = jax.random.key(8)
+
+    def fresh():
+        tx = optax.sgd(0.1)
+        params = jax.tree.map(jnp.array, {"seg": seg_bundle.params,
+                                          "disc": disc_bundle.params})
+        stats = jax.tree.map(jnp.array, {"seg": seg_bundle.batch_stats,
+                                         "disc": disc_bundle.batch_stats})
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=stats, opt_state=tx.init(params), tx=tx)
+
+    s1, m1 = step(fresh(), key, tgt, jnp.float32(1.0))
+
+    mesh = create_mesh(jax.devices()[:N_DEV])
+    k8 = jax.device_put(key, NamedSharding(mesh, P()))
+    s8, m8 = step(replicate(fresh(), mesh), k8, shard_batch(tgt, mesh),
+                  jnp.float32(1.0))
+
+    assert bool(m1["finite"]) and bool(m8["finite"])
+    assert abs(float(m1["total"]) - float(m8["total"])) < 1e-4
+    for p1, p8 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_spatial_partition_matches_single_device(seg_bundle):
     """Height-sharded forward == single-device forward (halo exchange
     inserted by the SPMD partitioner reproduces exact receptive fields)."""

@@ -177,20 +177,28 @@ def prefetch_to_device(iterator, size: int = 2, cast_masks_uint8: bool = True,
     import jax
     import numpy as np
 
-    # the uint8-fits decision is made ONCE per tuple position on the
-    # first batch (label ranges are fixed by the dataset) -- a per-batch
-    # min/max is two full host passes over the mask array, defeating the
-    # point of unburdening a thin host
+    # the uint8-fits decision is made once per tuple position on the
+    # first batch (label ranges are fixed by the dataset), then every
+    # narrowed batch is range-ASSERTED: the min/max host pass (~ms) is
+    # noise next to the 4x H2D byte saving, and a later batch smuggling
+    # an out-of-range label (e.g. a negative ignore index absent from
+    # batch 0) must fail loudly instead of wrapping into a valid label
     narrow: dict = {}
 
     def ship(item):
         def put(pos, a):
             a = np.asarray(a)
             if cast_masks_uint8 and a.dtype in (np.int32, np.int64):
+                in_range = bool(a.size and a.min() >= 0 and a.max() < 256)
                 if pos not in narrow:
-                    narrow[pos] = bool(a.size and a.min() >= 0
-                                       and a.max() < 256)
+                    narrow[pos] = in_range
                 if narrow[pos]:
+                    if not in_range:
+                        raise ValueError(
+                            "mask batch has values outside [0, 256) after "
+                            "uint8 narrowing was enabled from the first "
+                            "batch; pass cast_masks_uint8=False or fix the "
+                            "dataset's label range")
                     a = a.astype(np.uint8)
             return jax.device_put(a)
 

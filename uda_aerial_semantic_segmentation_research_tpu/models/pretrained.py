@@ -24,6 +24,9 @@ from typing import Dict
 import numpy as np
 
 PRETRAINED_ENV = "UDA_TPU_PRETRAINED"
+# direct-file override: points at ONE converted .npz (takes precedence
+# over the $UDA_TPU_PRETRAINED/<encoder>_imagenet.npz directory layout)
+PRETRAINED_FILE_ENV = "UDA_TPU_IMAGENET_NPZ"
 
 
 def _bn(prefix_t: str, prefix_j: str, sd, out: Dict[str, np.ndarray]):
@@ -69,12 +72,15 @@ def convert_torch_resnet(sd: Dict, encoder_name: str) -> Dict[str, np.ndarray]:
 
 def load_imagenet_encoder(bundle, encoder_name: str) -> bool:
     """Merge a converted ImageNet checkpoint into ``bundle``'s encoder subtree."""
-    root = os.environ.get(PRETRAINED_ENV, "pretrained")
-    path = os.path.join(root, f"{encoder_name}_imagenet.npz")
+    path = os.environ.get(PRETRAINED_FILE_ENV)
+    if not path:
+        root = os.environ.get(PRETRAINED_ENV, "pretrained")
+        path = os.path.join(root, f"{encoder_name}_imagenet.npz")
     if not os.path.exists(path):
         warnings.warn(
             f"encoder_weights='imagenet' requested but no converted checkpoint "
-            f"at {path} (set ${PRETRAINED_ENV}); encoder stays randomly "
+            f"at {path} (set ${PRETRAINED_FILE_ENV} to a converted file or "
+            f"${PRETRAINED_ENV} to its directory); encoder stays randomly "
             f"initialized", stacklevel=2)
         return False
 

@@ -103,6 +103,12 @@ class ResNetEncoder(nn.Module):
     in_channels: int = 3
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
+    # rematerialize each residual block on backward: only block-boundary
+    # activations are saved, trading ~1 extra in-block forward for HBM
+    # headroom (unlocks larger batches; phase 3's three grad-bearing
+    # forwards at 512px OOM without it).  Parameter tree is unchanged,
+    # so checkpoints are interchangeable with remat=False.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,6 +117,7 @@ class ResNetEncoder(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
 
         features = [x]
         y = conv(self.num_filters, (7, 7), (2, 2), padding=_tpad(7),
@@ -124,7 +131,7 @@ class ResNetEncoder(nn.Module):
         for stage, n_blocks in enumerate(self.stage_sizes):
             for blk in range(n_blocks):
                 strides = 2 if stage > 0 and blk == 0 else 1
-                y = self.block_cls(
+                y = block_cls(
                     filters=self.num_filters * 2 ** stage,
                     strides=strides, conv=conv, norm=norm,
                     name=f"stage{stage + 1}_block{blk}")(y)
@@ -164,6 +171,7 @@ class MobileNetV2Encoder(nn.Module):
 
     in_channels: int = 3
     dtype: Any = jnp.bfloat16
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -172,7 +180,9 @@ class MobileNetV2Encoder(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
-        block = partial(InvertedResidual, conv=conv, norm=norm)
+        block_cls = (nn.remat(InvertedResidual) if self.remat
+                     else InvertedResidual)
+        block = partial(block_cls, conv=conv, norm=norm)
 
         features = [x]
         y = nn.relu6(norm(name="stem_norm")(
@@ -218,13 +228,15 @@ def encoder_out_channels(encoder_name: str) -> Tuple[int, ...]:
 
 
 def build_encoder(encoder_name: str, in_channels: int = 3,
-                  dtype: Any = jnp.bfloat16) -> ResNetEncoder:
+                  dtype: Any = jnp.bfloat16,
+                  remat: bool = False) -> ResNetEncoder:
     if encoder_name not in ENCODERS:
         raise ValueError(
             f"Unknown encoder '{encoder_name}'; available: {sorted(ENCODERS)}")
     if encoder_name == "mobilenet_v2":
-        return MobileNetV2Encoder(in_channels=in_channels, dtype=dtype)
+        return MobileNetV2Encoder(in_channels=in_channels, dtype=dtype,
+                                  remat=remat)
     spec = ENCODERS[encoder_name]
     return ResNetEncoder(stage_sizes=spec["stage_sizes"],
                          block_cls=spec["block_cls"],
-                         in_channels=in_channels, dtype=dtype)
+                         in_channels=in_channels, dtype=dtype, remat=remat)

@@ -42,6 +42,60 @@ class _Conv3x3Kernel(nn.Module):
                           (3, 3, self.in_features, self.features), jnp.float32)
 
 
+class _BNParams(nn.Module):
+    """Declare BatchNorm's exact variables (params scale/bias,
+    batch_stats mean/var) WITHOUT applying them, so a fused kernel can
+    fold the affine itself.  Instantiated with the same ``name`` as the
+    ``nn.BatchNorm`` it replaces on other code paths -> identical
+    checkpoint structure."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                             None, (self.features,), jnp.float32)
+        var = self.variable("batch_stats", "var", nn.initializers.ones,
+                            None, (self.features,), jnp.float32)
+        return scale, bias, mean.value, var.value
+
+
+class _PackedSegHead(nn.Module):
+    """3x3 segmentation head computed via the 2x2 lane-packed conv.
+
+    Parameter names/shapes/inits match ``nn.Conv(classes, (3, 3))``
+    exactly (kernel + bias), so checkpoints interchange with the plain
+    head; only the execution schedule differs (23 output lanes -> 92).
+    """
+
+    classes: int
+    in_features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from uda_aerial_semantic_segmentation_research_tpu.ops.packed_conv import (
+            conv3x3_packed,
+        )
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.classes),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.classes,),
+                          jnp.float32)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            y = conv3x3_packed(x, kernel.astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class DecoderBlock(nn.Module):
     """Upsample 2x -> concat skip -> (conv3x3 + BN + ReLU) x 2.
 
@@ -58,9 +112,21 @@ class DecoderBlock(nn.Module):
     filters: int
     dtype: Any = jnp.bfloat16
     fused: bool = True
+    # 2x2-space-to-depth lane packing for the low-channel convs (see
+    # ops/packed_conv.py): applied to convs whose output channels would
+    # occupy <= 32 of the MXU's 128 output lanes
+    packed: bool = False
+    # serving-path fusion: in eval mode run BN1-affine + ReLU + conv2 as
+    # ONE Pallas kernel (ops/pallas_conv.py) -- BN folds to an affine
+    # when running statistics are used, so the whole chain fuses without
+    # the train-mode batch-moments dependency.  Same variable tree.
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, train: bool = False):
+        from uda_aerial_semantic_segmentation_research_tpu.ops.packed_conv import (
+            conv3x3_packed,
+        )
         from uda_aerial_semantic_segmentation_research_tpu.ops.upsample_conv import (
             upsample2x_conv3x3,
         )
@@ -70,6 +136,15 @@ class DecoderBlock(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
+        pack = self.packed and self.filters <= 32
+
+        def conv3x3(y, name, cin):
+            """3x3 SAME conv, lane-packed when this block qualifies
+            (parameter tree identical to the nn.Conv path)."""
+            if pack and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
+                w = _Conv3x3Kernel(self.filters, cin, name=name)()
+                return conv3x3_packed(y, w.astype(self.dtype))
+            return conv(self.filters, (3, 3), name=name)(y)
 
         cup = x.shape[-1]
         cs = 0 if skip is None else skip.shape[-1]
@@ -78,16 +153,36 @@ class DecoderBlock(nn.Module):
             w1 = w1.astype(self.dtype)
             y = upsample2x_conv3x3(x.astype(self.dtype), w1[:, :, :cup])
             if skip is not None:
-                y = y + jax.lax.conv_general_dilated(
-                    skip.astype(self.dtype), w1[:, :, cup:], (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                sk = skip.astype(self.dtype)
+                if pack and sk.shape[1] % 2 == 0 and sk.shape[2] % 2 == 0:
+                    y = y + conv3x3_packed(sk, w1[:, :, cup:])
+                else:
+                    y = y + jax.lax.conv_general_dilated(
+                        sk, w1[:, :, cup:], (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"))
         else:
             y = _upsample2x(x)
             if skip is not None:
                 y = jnp.concatenate([y, skip.astype(self.dtype)], axis=-1)
-            y = conv(self.filters, (3, 3), name="conv1")(y)
+            y = conv3x3(y, "conv1", cup + cs)
+        if (self.pallas_eval and not train and pack
+                and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0):
+            from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_conv import (
+                packed_conv_bn_relu,
+            )
+
+            s1, b1, m1, v1 = _BNParams(self.filters, name="norm1")()
+            inv = s1 * jax.lax.rsqrt(v1 + 1e-5)
+            shift = b1 - m1 * inv
+            # guard the fold against an exactly-zero BN scale (border
+            # value of the fused pad ring divides by it)
+            inv = jnp.where(jnp.abs(inv) < 1e-12, 1e-12, inv)
+            w2 = _Conv3x3Kernel(self.filters, self.filters, name="conv2")()
+            y2 = packed_conv_bn_relu(y.astype(self.dtype),
+                                     w2.astype(self.dtype), inv, shift)
+            return nn.relu(norm(name="norm2")(y2))
         x = nn.relu(norm(name="norm1")(y))
-        x = nn.relu(norm(name="norm2")(conv(self.filters, (3, 3), name="conv2")(x)))
+        x = nn.relu(norm(name="norm2")(conv3x3(x, "conv2", self.filters)))
         return x
 
 
@@ -95,6 +190,9 @@ class UnetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
     fused: bool = False
+    remat: bool = False
+    packed: bool = False
+    pallas_eval: bool = False
 
     @nn.compact
     def __call__(self, features, train: bool = False):
@@ -102,9 +200,14 @@ class UnetDecoder(nn.Module):
         head = features[-1]
         skips = features[1:-1][::-1] + [None]   # /16, /8, /4, /2, None
         x = head.astype(self.dtype)
+        # static_argnums counts the module itself as arg 0: (x, skip, train)
+        # sit at (1, 2, 3) and only train is a static Python bool
+        block_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
+                     if self.remat else DecoderBlock)
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
-            x = DecoderBlock(ch, dtype=self.dtype, fused=self.fused,
-                             name=f"block{i}")(x, skip, train=train)
+            x = block_cls(ch, dtype=self.dtype, fused=self.fused,
+                          packed=self.packed, pallas_eval=self.pallas_eval,
+                          name=f"block{i}")(x, skip, train)
         return x
 
 
@@ -123,14 +226,33 @@ class Unet(nn.Module):
     # lets a fused loss consume it without an f32 materialization -- the
     # per-pixel CE is computed in f32 either way (ops/losses.py upcasts).
     logits_dtype: Any = jnp.float32
+    # per-block activation rematerialization (encoder + decoder); same
+    # parameter tree, so remat and non-remat checkpoints interchange
+    remat: bool = False
+    # 2x2 lane packing for the low-channel decoder/head convs
+    # (ops/packed_conv.py); numerically exact, same parameter tree
+    packed_decoder: bool = False
+    # serving-path Pallas fusion (BN affine + ReLU + conv in one kernel)
+    # for the packed decoder blocks in eval mode (ops/pallas_conv.py)
+    pallas_eval: bool = False
 
     def setup(self):
-        self.encoder = build_encoder(self.encoder_name, self.in_channels, self.dtype)
+        self.encoder = build_encoder(self.encoder_name, self.in_channels,
+                                     self.dtype, remat=self.remat)
         self.decoder = UnetDecoder(self.decoder_channels, self.dtype,
-                                   fused=self.fused_decoder)
-        self.segmentation_head = nn.Conv(
-            self.classes, (3, 3), padding="SAME",
-            dtype=self.dtype, param_dtype=jnp.float32, name="segmentation_head")
+                                   fused=self.fused_decoder,
+                                   remat=self.remat,
+                                   packed=self.packed_decoder,
+                                   pallas_eval=self.pallas_eval)
+        if self.packed_decoder and self.classes <= 32:
+            self.segmentation_head = _PackedSegHead(
+                self.classes, self.decoder_channels[-1], dtype=self.dtype,
+                name="segmentation_head")
+        else:
+            self.segmentation_head = nn.Conv(
+                self.classes, (3, 3), padding="SAME",
+                dtype=self.dtype, param_dtype=jnp.float32,
+                name="segmentation_head")
 
     def __call__(self, x, train: bool = False):
         features = self.encoder(x, train=train)

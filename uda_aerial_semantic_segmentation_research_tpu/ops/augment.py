@@ -132,6 +132,10 @@ class AugmentConfig:
     # distortions: OneOf {optical, grid, elastic}
     # (reference src/models/augmentation.py distortion OneOf group)
     p_distort: float = 0.2
+    # per-image OneOf member weights; the reference weak group's member
+    # probabilities (0.3, 0.1, 0.3) normalize to (3/7, 1/7, 3/7)
+    # (src/models/augmentation.py:24-28); the strong group is uniform
+    distort_weights: Tuple[float, float, float] = (3 / 7, 1 / 7, 3 / 7)
     optical_limit: float = 0.05     # radial distortion coefficient range
     grid_steps: int = 5             # control points per axis
     grid_limit: float = 0.3         # control-point jitter (cell fraction)
@@ -144,6 +148,14 @@ class AugmentConfig:
     # rows >= 96 lanes at bench batch (128/4 * 3ch) -- lane packing over
     # group diversity.
     warp_groups: int = 4
+    # run the dihedral stage through the Pallas fused kernel
+    # (ops/pallas_ops.dihedral_normalize) instead of the XLA
+    # transpose/flip selects: "" = off, "exact" = HIGHEST-precision
+    # (bit-exact relocation), "fast" = default MXU precision (< half a
+    # uint8 LSB).  Requires a uint8 input batch (the kernel fuses the
+    # dequant); used for the in-step A/B (see the pallas_ops module
+    # docstring for the recorded numbers).
+    pallas_dihedral: str = ""
     # pixel-data dtype for the pipeline's intermediate math.  bfloat16
     # halves the HBM traffic of every elementwise pass and gather; its
     # ~8-bit mantissa matches the uint8 precision the reference's
@@ -171,7 +183,10 @@ STRONG = AugmentConfig(
     p_color=0.5, brightness_limit=0.3, contrast_limit=0.3, clahe_clip=4.0,
     p_hsv=0.4, hue_shift=20.0 / 180.0, sat_shift=30.0 / 255.0,
     val_shift=20.0 / 255.0,
-    p_distort=0.3, optical_limit=0.08, grid_limit=0.4, elastic_alpha=1.5,
+    # strong distortion OneOf: p=0.4, equal member weights
+    # (src/models/augmentation.py:61-69)
+    p_distort=0.4, distort_weights=(1 / 3, 1 / 3, 1 / 3),
+    optical_limit=0.08, grid_limit=0.4, elastic_alpha=1.5,
 )
 
 # Validation pipeline: normalize only (src/models/augmentation.py:90-95)
@@ -411,7 +426,9 @@ def _distort_warp_grouped(key, x, m, do, cfg: AugmentConfig):
     n, h, w = x.shape[0], x.shape[1], x.shape[2]
     kg = _warp_kg(n, 4 if m is not None else 3, cfg.warp_groups)
     k = jax.random.split(key, 5)
-    which = jax.random.randint(k[1], (kg,), 0, 3)
+    dw0, dw1, _ = cfg.distort_weights
+    u_which = jax.random.uniform(k[1], (kg,))
+    which = jnp.where(u_which < dw0, 0, jnp.where(u_which < dw0 + dw1, 1, 2))
     yy, xx = _identity_grid(h, w)
 
     # optical (radial barrel/pincushion): r' = r * (1 + k2 * (r/R)^2)
@@ -766,8 +783,12 @@ def _motion_blur(x, size: int, direction):
     """Directional (motion) blur of length ``size`` along a per-image
     direction in {0deg, 45deg, 90deg, 135deg} -- integer-pixel rays, the
     device-friendly subset of albumentations MotionBlur's random line
-    kernel (documented divergence: continuous angles -> 4 axes).
-    ``direction``: (B,) int32 in [0, 4)."""
+    kernel.  Documented divergences: (a) continuous angles -> 4 axes;
+    (b) the kernel length is the static ``cfg.blur_size`` (3 weak /
+    5 strong) rather than MotionBlur's per-image draw from
+    blur_limit=(3, 7) -- a per-image length would force computing every
+    candidate length (static shapes), tripling the VPU passes for a
+    visually minor spread.  ``direction``: (B,) int32 in [0, 4)."""
     h, w = x.shape[1], x.shape[2]
     r = size // 2
     y = jnp.pad(x, ((0, 0), (r, r), (r, r), (0, 0)), mode="reflect")
@@ -1045,16 +1066,32 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     if images.shape[1] != images.shape[2]:
         raise ValueError("on-device augmentation requires square tiles "
                          f"(got {images.shape}); resize in the data pipeline")
-    x = images.astype(jnp.float32)
-    x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
-    x = x.astype(jnp.dtype(cfg.compute_dtype))
-    n = x.shape[0]
+    n = images.shape[0]
     m = masks.astype(jnp.int32) if masks is not None else None
+    has_dihedral = cfg.p_rot90 > 0 or cfg.p_flip > 0 or cfg.p_transpose > 0
 
     k_dih, k_ssr, k_photo = jax.random.split(key, 3)
-    if cfg.p_rot90 > 0 or cfg.p_flip > 0 or cfg.p_transpose > 0:
+    if (cfg.pallas_dihedral and has_dihedral
+            and jnp.issubdtype(images.dtype, jnp.integer)):
+        # fused Pallas dequant+dihedral on the raw uint8 batch
+        from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_ops import (
+            dihedral_normalize,
+            flags_from_abc,
+        )
+
         a, b, c = _sample_dihedral(k_dih, n, cfg)
-        x, m = _apply_dihedral(x, m, a, b, c)
+        prec = (jax.lax.Precision.HIGHEST if cfg.pallas_dihedral == "exact"
+                else jax.lax.Precision.DEFAULT)
+        x, m = dihedral_normalize(images, flags_from_abc(a, b, c), m,
+                                  normalize=False, precision=prec)
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
+    else:
+        x = images.astype(jnp.float32)
+        x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
+        x = x.astype(jnp.dtype(cfg.compute_dtype))
+        if has_dihedral:
+            a, b, c = _sample_dihedral(k_dih, n, cfg)
+            x, m = _apply_dihedral(x, m, a, b, c)
     if cfg.p_ssr > 0 or cfg.p_distort > 0:
         x, m = _warp_stage(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)

@@ -49,6 +49,15 @@ def _phase_kernels(kernel):
 def upsample2x_conv3x3(x, kernel, preferred_dtype=None):
     """conv3x3-SAME over the nearest-2x upsampling of ``x``, fused.
 
+    The four phase convolutions run as ONE convolution whose output
+    channels are the concatenated phase groups (2, 2, Cin, 4*Cout):
+    with the decoder's small Cout (16-32) a per-phase conv uses only
+    Cout of the MXU's 128 output lanes, while the combined conv uses
+    4*Cout -- the same lane-packing argument as ops/packed_conv.py.
+    The (H+1, W+1) window grid is shared by all phases (phase (r, s)
+    reads windows r..r+H-1, s..s+W-1), so the combined conv computes
+    each phase's positions plus one redundant edge row/column.
+
     Args:
         x: (B, H, W, Cin).
         kernel: (3, 3, Cin, Cout) HWIO (the SAME parameter a plain
@@ -62,19 +71,18 @@ def upsample2x_conv3x3(x, kernel, preferred_dtype=None):
     # zero-pad once: covers the (m-1) taps of phase 0 and (m+1) of phase 1
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     phases = _phase_kernels(kernel.astype(x.dtype))
+    k_all = jnp.concatenate([phases[(r, s)] for r in (0, 1) for s in (0, 1)],
+                            axis=-1)                       # (2,2,Cin,4*Cout)
+    y = jax.lax.conv_general_dilated(
+        xp, k_all, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype)            # (B,H+1,W+1,4C)
 
-    outs = {}
-    for (r, s), k in phases.items():
-        y = jax.lax.conv_general_dilated(
-            xp, k, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=preferred_dtype)
-        # VALID over (H+2) with a 2-tap window -> H+1 outputs; phase 0
-        # starts at padded row 0 (source m-1), phase 1 at row 1 (source m)
-        outs[(r, s)] = y[:, r:r + h, s:s + w]
+    def phase(g, r, s):
+        return y[:, r:r + h, s:s + w, g * cout:(g + 1) * cout]
 
     # interleave phases: (B, H, 2, W, 2, Cout) -> (B, 2H, 2W, Cout)
-    top = jnp.stack([outs[(0, 0)], outs[(0, 1)]], axis=3)
-    bot = jnp.stack([outs[(1, 0)], outs[(1, 1)]], axis=3)
+    top = jnp.stack([phase(0, 0, 0), phase(1, 0, 1)], axis=3)
+    bot = jnp.stack([phase(2, 1, 0), phase(3, 1, 1)], axis=3)
     y = jnp.stack([top, bot], axis=2)
     return y.reshape(b, 2 * h, 2 * w, cout)

@@ -10,9 +10,11 @@ inserts the conv halo exchanges (``ppermute`` of boundary rows) and the
 cross-shard reductions (BatchNorm statistics, pooling edges)
 automatically.  No hand-written collective is needed or wanted.
 
-Numerics are EXACT: a spatially-sharded forward equals the single-device
-forward bit-for-bit in eval mode (tests/test_parallel.py), because halo
-exchange reproduces the same receptive fields.
+Numerics: a spatially-sharded forward reproduces the same receptive
+fields as the single-device forward (halo exchange supplies the missing
+boundary rows), and matches it to the tested rtol/atol 1e-5
+(tests/test_parallel.py) -- bf16 conv reduction order under a different
+partitioning is not in general bit-identical.
 
 Practical notes:
 - Height must divide the ``space`` axis; 2^k tile sizes over 2/4-way

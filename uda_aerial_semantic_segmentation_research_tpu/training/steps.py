@@ -188,7 +188,8 @@ def make_predict_step(module):
 # ---------------------------------------------------------------------------
 def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
                                 lambda_adv: float = 0.001,
-                                aug_cfg: AugmentConfig = WEAK):
+                                aug_cfg: AugmentConfig = WEAK,
+                                concat_disc: bool = False):
     """One fused D-then-G update (reference adversarial_trainer.py:41-128).
 
     Step A trains the discriminator on D(src), D(tgt) with labels 1/0;
@@ -210,6 +211,20 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
     path that actually adapts the generator is the feature-level
     GRL stack (models/uda.py + trainer_phases.phase2_train), where the
     discriminator input depends on the encoder.
+
+    ``concat_disc=True`` batches D(src) and D(tgt) into ONE forward over
+    the concatenated 2B batch (one BN-stats pass).  Documented
+    divergence: the reference runs the two forwards sequentially
+    (adversarial_trainer.py:84-98), so each domain is BatchNorm-
+    normalized by its OWN batch statistics and the EMA is updated
+    twice; concatenation normalizes both domains with the JOINT
+    statistics and updates the EMA once.  Default False preserves the
+    reference's per-domain-BN semantics -- and also WINS on time:
+    measured at B=128 @ 512px on v5e, concat is 604.8 ms/step vs 566 ms
+    sequential (the (2B, 512, 512, 3) concat materialization costs more
+    HBM traffic than the fused-batch discriminator saves; the
+    discriminator is conv-cheap, its utilization was never the
+    bottleneck).
     """
     adv = AdversarialLoss(lambda_adv)
 
@@ -222,11 +237,17 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
 
         # --- step A: discriminator ------------------------------------
         def d_loss_fn(d_params):
-            s_logit, stats = _apply_train(disc_module, d_params,
-                                          state.disc.batch_stats, xs,
-                                          return_logits=True)
-            t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
-                                          return_logits=True)
+            if concat_disc:
+                logit, stats = _apply_train(
+                    disc_module, d_params, state.disc.batch_stats,
+                    jnp.concatenate([xs, xt], axis=0), return_logits=True)
+                s_logit, t_logit = jnp.split(logit, 2, axis=0)
+            else:
+                s_logit, stats = _apply_train(disc_module, d_params,
+                                              state.disc.batch_stats, xs,
+                                              return_logits=True)
+                t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
+                                              return_logits=True)
             loss = adv.discriminator_loss(s_logit, t_logit)
             return loss, (s_logit, t_logit, stats)
 

@@ -55,7 +55,7 @@ class UnsupervisedTrainer(SegmentationTrainer):
     def __init__(self, model, device=None, consistency_weight: float = 1.0,
                  domain_weight: float = 0.1, supervised_weight: float = 0.1,
                  rampup_length: int = 40, log_interval: int = 10,
-                 patience: int = 7):
+                 patience: int = 7, remat: bool = True):
         if isinstance(model, DomainAdaptationModel):
             seg_bundle = model.segmentation_model
             discriminator = model.discriminator
@@ -78,6 +78,10 @@ class UnsupervisedTrainer(SegmentationTrainer):
         self.domain_metrics = DomainAdaptationMetrics()
         self.log_interval = log_interval
         self.patience = patience
+        # phase 3 holds three grad-bearing activation sets at once; per-
+        # block remat (numerically identical, same param tree) lifts the
+        # HBM wall from B=16 to B>=64 at 512px (BASELINE.md)
+        self.remat = remat
 
         self.best_score = float("-inf")
         self.best_epoch = 0
@@ -106,8 +110,11 @@ class UnsupervisedTrainer(SegmentationTrainer):
 
     def _get_unsup_step(self, with_supervised: bool):
         if with_supervised not in self._unsup_steps:
+            seg_module = self.model.module
+            if self.remat and getattr(seg_module, "remat", True) is False:
+                seg_module = seg_module.clone(remat=True)
             self._unsup_steps[with_supervised] = step_lib.make_unsupervised_train_step(
-                self.model.module, self.discriminator.module, self.num_classes,
+                seg_module, self.discriminator.module, self.num_classes,
                 self.fine_tuning_loss, with_supervised=with_supervised)
         return self._unsup_steps[with_supervised]
 
