@@ -152,6 +152,109 @@ def test_unsupervised_step_and_rampup(seg_bundle, disc_bundle, batch):
     assert bool(m["finite"])
 
 
+def _unsup_state(seg_bundle, disc_bundle, tx=None):
+    tx = tx or adam(1e-3, clip_norm=1.0)
+    params = jax.tree.map(jnp.array, {"seg": seg_bundle.params,
+                                      "disc": disc_bundle.params})
+    stats = jax.tree.map(jnp.array, {"seg": seg_bundle.batch_stats,
+                                     "disc": disc_bundle.batch_stats})
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=stats, opt_state=tx.init(params), tx=tx)
+
+
+# Gaussian noise only: the cheapest config whose two key splits yield
+# genuinely DIFFERENT views, so the consistency KL has a real gradient.
+# (Under NONE the views are identical, the true consistency gradient is
+# exactly zero, and any optimizer that normalizes by gradient magnitude
+# would amplify float-noise-level implementation differences to full
+# lr-sized updates -- which is also why these tests drive plain SGD:
+# after N SGD steps the param delta IS the summed gradient, making this
+# a direct gradient-equivalence assertion.)
+NOISE_ONLY = __import__("dataclasses").replace(NONE, p_noise=1.0)
+
+
+@pytest.mark.parametrize("with_supervised", [False, True])
+def test_unsupervised_sequential_matches_joint(seg_bundle, disc_bundle, batch,
+                                               with_supervised):
+    """make_unsupervised_sequential_step == make_unsupervised_train_step.
+
+    Gradient equivalence, asserted directly: one SGD(1.0) step from
+    identical states makes the parameter delta equal the gradient, so
+    comparing post-step params compares the joint gradient against the
+    decomposition's sum of partials element-by-element.  (A multi-step
+    trajectory comparison is NOT meaningful at tight tolerance: the
+    temperature-scaled KL's curvature amplifies benign float
+    reassociation differences between the two compiled programs by
+    ~1e3 per update.)  Loss components, batch stats, and the metric
+    dict contract are asserted in the same step.
+    """
+    import optax
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        FineTuningLoss,
+    )
+
+    images, masks = batch
+    ft = FineTuningLoss(rampup_length=40)
+    kw = dict(aug_cfg=NOISE_ONLY, with_supervised=with_supervised)
+    joint = step_lib.make_unsupervised_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, ft, **kw)
+    seq = step_lib.make_unsupervised_sequential_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, ft, **kw)
+
+    sup = (images, masks) if with_supervised else ()
+    tx = optax.sgd(1.0)
+    sa = _unsup_state(seg_bundle, disc_bundle, tx)
+    sb = _unsup_state(seg_bundle, disc_bundle, tx)
+    key = jax.random.key(5)
+    epoch = jnp.float32(20)
+    sa, ma = joint(sa, key, images, epoch, *sup)
+    sb, mb = seq(sb, key, images, epoch, *sup)
+    for k in ("total", "consistency", "domain_confusion", "supervised",
+              "rampup_weight"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    assert float(ma["consistency"]) > 0, "views must differ"
+    assert bool(ma["finite"]) and bool(mb["finite"])
+    np.testing.assert_allclose(np.asarray(ma["domain_prob"]),
+                               np.asarray(mb["domain_prob"]),
+                               rtol=1e-4, atol=1e-6)
+
+    assert int(sa.step) == int(sb.step) == 1
+    # params moved by exactly -gradient; observed cross-program
+    # reassociation noise is <1e-5 absolute (f32 model)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5),
+        jax.device_get(sa.params), jax.device_get(sb.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3, atol=5e-5),
+        jax.device_get(sa.batch_stats), jax.device_get(sb.batch_stats))
+
+
+def test_unsupervised_sequential_bf16_carry(seg_bundle, disc_bundle, batch):
+    """carry_dtype=bfloat16 (the HBM-saving mode) stays close to joint."""
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        FineTuningLoss,
+    )
+
+    images, _ = batch
+    ft = FineTuningLoss(rampup_length=40)
+    joint = step_lib.make_unsupervised_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, ft,
+        aug_cfg=NOISE_ONLY)
+    seq = step_lib.make_unsupervised_sequential_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, ft,
+        aug_cfg=NOISE_ONLY, carry_dtype=jnp.bfloat16)
+    sa, sb = _unsup_state(seg_bundle, disc_bundle), _unsup_state(seg_bundle,
+                                                                 disc_bundle)
+    key = jax.random.key(3)
+    sa, ma = joint(sa, key, images, jnp.float32(20))
+    sb, mb = seq(sb, key, images, jnp.float32(20))
+    assert bool(mb["finite"])
+    np.testing.assert_allclose(float(ma["total"]), float(mb["total"]),
+                               rtol=2e-2, atol=2e-3)
+
+
 def test_predict_step(seg_bundle, batch):
     images, _ = batch
     pred = step_lib.make_predict_step(seg_bundle.module)

@@ -189,7 +189,11 @@ class DecoderBlock(nn.Module):
 class UnetDecoder(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
-    fused: bool = False
+    # True/False applies the fused upsample+conv to all/no blocks; a
+    # tuple of block indices (0 = lowest resolution) fuses only those --
+    # the high-resolution blocks (3, 4) are where the naive path's 4x
+    # upsampled intermediate is the multi-GB one
+    fused: Any = False
     remat: bool = False
     packed: bool = False
     pallas_eval: bool = False
@@ -205,7 +209,9 @@ class UnetDecoder(nn.Module):
         block_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
                      if self.remat else DecoderBlock)
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
-            x = block_cls(ch, dtype=self.dtype, fused=self.fused,
+            fused = (i in self.fused if isinstance(self.fused, tuple)
+                     else bool(self.fused))
+            x = block_cls(ch, dtype=self.dtype, fused=fused,
                           packed=self.packed, pallas_eval=self.pallas_eval,
                           name=f"block{i}")(x, skip, train)
         return x
@@ -220,7 +226,8 @@ class Unet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     activation: Optional[str] = None
     dtype: Any = jnp.bfloat16
-    fused_decoder: bool = False
+    # bool, or a tuple of decoder block indices to fuse (see UnetDecoder)
+    fused_decoder: Any = False
     # dtype the logits are RETURNED in.  float32 is the parity default;
     # bfloat16 halves the largest tensor in training (B, H, W, 23) and
     # lets a fused loss consume it without an f32 materialization -- the

@@ -310,7 +310,7 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, tgt_images, epoch, sup_images=None, sup_masks=None):
         key = jax.random.fold_in(key, state.step)  # in-program key derivation
-        k1, k2, k3 = jax.random.split(key, 3)
+        k1, k2, k3 = jax.random.split(key, 3)  # keep in sync with sequential step
         v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
         v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
         x0 = normalize_images(tgt_images)
@@ -346,5 +346,202 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
         metrics["finite"] = finite
         metrics["domain_prob"] = jax.nn.sigmoid(domain_logits)
         return state, metrics
+
+    return step
+
+
+def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
+                                      fine_tuning_loss: FineTuningLoss,
+                                      aug_cfg: AugmentConfig = STRONG,
+                                      with_supervised: bool = False,
+                                      carry_dtype=None):
+    """Memory-decomposed phase-3 update: same gradients, 1/3 the peak HBM.
+
+    ``make_unsupervised_train_step`` holds up to three grad-bearing
+    forwards' activations at once, which caps the batch at B=16 @ 512px
+    on a 16 GB chip even under rematerialization (BASELINE.md).  This
+    variant computes the IDENTICAL total gradient as a sum of partials,
+    each in its own dispatched XLA program, so peak memory is ONE
+    forward+backward:
+
+    - the symmetric-KL consistency term obeys
+      ``d/dp cons(z1(p), z2(p)) = d/dp cons(z1(p), sg(z2))
+                                 + d/dp cons(sg(z1), z2(p))``
+      (multivariate chain rule), so two single-view backward passes over
+      the frozen other view's logits reproduce the joint gradient;
+    - the domain-confusion and supervised terms touch disjoint forwards
+      and simply accumulate;
+    - BatchNorm batch-stat chaining (v1 -> v2 -> supervised, matching the
+      joint step) is preserved by threading each pass's output stats into
+      the next, and the view-1 logits needed as the first frozen target
+      come from one extra forward-only pass (the only recompute cost:
+      ~1 forward in ~10, for a 3x smaller working set).
+
+    Buffers that cross dispatches (augmented views, logits) live on
+    device; the Python driver only enqueues, so the axon/PJRT stream
+    pipelines the passes back to back.  ``carry_dtype`` optionally
+    narrows the cross-pass logits buffers (e.g. ``jnp.bfloat16`` saves
+    ~6 GB at B=128 @ 512px/23 classes, at a documented tiny divergence
+    in the KL targets); ``None`` keeps the model's logits dtype and is
+    numerically equivalent to the joint step (tests/test_training.py).
+
+    Returns a (state, key, tgt_images, epoch[, sup_images, sup_masks])
+    -> (state, metrics) callable with the joint step's exact contract
+    (donates ``state``; in-program key derivation; non-finite guard).
+    Reference semantics mirrored: unsupervised_trainer.py:52-187 with
+    gradients through BOTH views of the consistency KL
+    (reference src/models/losses.py:62-90 -- no detach).
+    """
+    ftl = fine_tuning_loss
+    cons = ftl.consistency_loss
+
+    def _carry(z):
+        return z.astype(carry_dtype) if carry_dtype is not None else z
+
+    if with_supervised:
+        @jax.jit
+        def prep(key, step, tgt_images, sup_images, sup_masks):
+            key = jax.random.fold_in(key, step)
+            k1, k2, k3 = jax.random.split(key, 3)
+            v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
+            v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+            x0 = normalize_images(tgt_images)
+            xs, ms = augment_batch(k3, sup_images, sup_masks, cfg=WEAK)
+            return v1, v2, x0, xs, ms
+    else:
+        @jax.jit
+        def prep(key, step, tgt_images):
+            key = jax.random.fold_in(key, step)
+            k1, k2, _ = jax.random.split(key, 3)
+            v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
+            v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+            x0 = normalize_images(tgt_images)
+            return v1, v2, x0
+
+    @jax.jit
+    def fwd_view1(seg_params, seg_stats, v1):
+        z1, stats1 = _apply_train(seg_module, seg_params, seg_stats, v1)
+        return _carry(z1), stats1
+
+    @partial(jax.jit, donate_argnums=(3, 4))  # v2, z1 are last used here
+    def grad_view2(seg_params, stats1, epoch, v2, z1):
+        w = ftl.consistency_weight * ftl.rampup(epoch)
+
+        def loss_fn(p):
+            p2, stats2 = _apply_train(seg_module, p, stats1, v2)
+            c = cons(jax.lax.stop_gradient(z1), p2)
+            return c * w, (c, p2, stats2)
+
+        (_, (c, p2, stats2)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(seg_params)
+        return g, jax.lax.stop_gradient(c), _carry(p2), stats2
+
+    @partial(jax.jit, donate_argnums=(3, 4))  # v1, z2 are last used here
+    def grad_view1(seg_params, seg_stats, epoch, v1, z2):
+        w = ftl.consistency_weight * ftl.rampup(epoch)
+
+        def loss_fn(p):
+            p1, _ = _apply_train(seg_module, p, seg_stats, v1)
+            return cons(p1, jax.lax.stop_gradient(z2)) * w
+
+        return jax.grad(loss_fn)(seg_params)
+
+    @partial(jax.jit, donate_argnums=(2,))  # x0
+    def grad_disc(disc_params, disc_stats, x0, epoch):
+        def loss_fn(dp):
+            logits, dstats = _apply_train(disc_module, dp, disc_stats, x0,
+                                          return_logits=True)
+            dom = ftl.domain_loss.generator_loss(logits)
+            return dom * ftl.domain_weight * ftl.rampup(epoch), (dom, dstats,
+                                                                 logits)
+
+        (_, (dom, dstats, logits)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(disc_params)
+        return (g, jax.lax.stop_gradient(dom), dstats,
+                jax.lax.stop_gradient(logits))
+
+    @partial(jax.jit, donate_argnums=(2,))  # xs
+    def grad_sup(seg_params, stats2, xs, ms):
+        def loss_fn(p):
+            pred, stats3 = _apply_train(seg_module, p, stats2, xs)
+            s = ftl.supervised_loss(pred, ms)
+            return s * ftl.supervised_weight, (s, stats3)
+
+        (_, (s, stats3)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(seg_params)
+        return g, jax.lax.stop_gradient(s), stats3
+
+    def _finish(state, g_seg, g_disc, total, values, seg_stats, disc_stats,
+                domain_logits, epoch):
+        grads = {"seg": g_seg, "disc": g_disc}
+        new_stats = {"seg": seg_stats, "disc": disc_stats}
+        candidate = state.apply_gradients(grads, batch_stats=new_stats)
+        finite = jnp.isfinite(total)
+        state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old), candidate, state)
+        metrics = {
+            "total": total,
+            "consistency": values["consistency"],
+            "domain_confusion": values["domain"],
+            "supervised": values["supervised"],
+            "rampup_weight": ftl.rampup(epoch),
+            "finite": finite,
+            "domain_prob": jax.nn.sigmoid(domain_logits),
+        }
+        return state, metrics
+
+    if with_supervised:
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+        def combine(state, g1, g2, gs, gd, cons_v, dom_v, sup_v,
+                    seg_stats, disc_stats, domain_logits, epoch):
+            r = ftl.rampup(epoch)
+            g_seg = jax.tree.map(lambda a, b, c: a + b + c, g1, g2, gs)
+            total = (cons_v * ftl.consistency_weight * r
+                     + dom_v * ftl.domain_weight * r
+                     + sup_v * ftl.supervised_weight)
+            return _finish(state, g_seg, gd, total,
+                           {"consistency": cons_v, "domain": dom_v,
+                            "supervised": sup_v},
+                           seg_stats, disc_stats, domain_logits, epoch)
+
+        def step(state, key, tgt_images, epoch, sup_images, sup_masks):
+            v1, v2, x0, xs, ms = prep(key, state.step, tgt_images,
+                                      sup_images, sup_masks)
+            z1, stats1 = fwd_view1(state.params["seg"],
+                                   state.batch_stats["seg"], v1)
+            g2, cons_v, z2, stats2 = grad_view2(state.params["seg"], stats1,
+                                                epoch, v2, z1)
+            g1 = grad_view1(state.params["seg"], state.batch_stats["seg"],
+                            epoch, v1, z2)
+            gd, dom_v, disc_stats, dlogits = grad_disc(
+                state.params["disc"], state.batch_stats["disc"], x0, epoch)
+            gs, sup_v, stats3 = grad_sup(state.params["seg"], stats2, xs, ms)
+            return combine(state, g1, g2, gs, gd, cons_v, dom_v, sup_v,
+                           stats3, disc_stats, dlogits, epoch)
+    else:
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def combine(state, g1, g2, gd, cons_v, dom_v,
+                    seg_stats, disc_stats, domain_logits, epoch):
+            r = ftl.rampup(epoch)
+            g_seg = jax.tree.map(lambda a, b: a + b, g1, g2)
+            total = (cons_v * ftl.consistency_weight * r
+                     + dom_v * ftl.domain_weight * r)
+            return _finish(state, g_seg, gd, total,
+                           {"consistency": cons_v, "domain": dom_v,
+                            "supervised": jnp.asarray(0.0, jnp.float32)},
+                           seg_stats, disc_stats, domain_logits, epoch)
+
+        def step(state, key, tgt_images, epoch):
+            v1, v2, x0 = prep(key, state.step, tgt_images)
+            z1, stats1 = fwd_view1(state.params["seg"],
+                                   state.batch_stats["seg"], v1)
+            g2, cons_v, z2, stats2 = grad_view2(state.params["seg"], stats1,
+                                                epoch, v2, z1)
+            g1 = grad_view1(state.params["seg"], state.batch_stats["seg"],
+                            epoch, v1, z2)
+            gd, dom_v, disc_stats, dlogits = grad_disc(
+                state.params["disc"], state.batch_stats["disc"], x0, epoch)
+            return combine(state, g1, g2, gd, cons_v, dom_v,
+                           stats2, disc_stats, dlogits, epoch)
 
     return step
