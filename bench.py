@@ -66,16 +66,19 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         # forward-only fits (and is fastest at) twice the training batch
         batch_candidates = (256, 128, 64, 32, 16, 8)
     elif mode == "unsup" and batch_candidates == (128, 64, 32, 16, 8):
-        # remat makes B=64 fit (three grad-bearing forwards at 512px
-        # OOMed beyond B=16 without it); start there
-        batch_candidates = (64, 32, 16, 8)
+        # the sequential decomposition + remat + bf16 logits/carry fits
+        # (and is fastest at) the full supervised batch
+        batch_candidates = (128, 64, 32, 16, 8)
 
     n_chips = jax.device_count()
-    # phase 3 rematerializes per-block: three grad-bearing forwards at
-    # 512px exceed HBM otherwise (BASELINE.md per-phase table)
+    # phase 3 rematerializes per-block (three grad-bearing forwards at
+    # 512px exceed HBM otherwise) and stores logits in bf16 -- value-
+    # identical when the head computes in bf16, and the f32 KL-target
+    # buffers were the largest allocations in the B=64 OOM dump
+    unsup_kw = ({"remat": True, "logits_dtype": jnp.bfloat16}
+                if mode == "unsup" and not smoke else {})
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
-                         classes=classes, image_size=tile,
-                         remat=(mode == "unsup" and not smoke))
+                         classes=classes, image_size=tile, **unsup_kw)
     if mode == "infer":
         # serving path: normalize + forward + argmax, jitted, no grads
         predict = step_lib.make_predict_step(bundle.module)
@@ -118,8 +121,17 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         )
 
         disc = create_discriminator(input_channels=3, image_size=tile)
-        unsup = step_lib.make_unsupervised_train_step(
-            bundle.module, disc.module, classes, FineTuningLoss())
+        if smoke:
+            unsup = step_lib.make_unsupervised_train_step(
+                bundle.module, disc.module, classes, FineTuningLoss())
+        else:
+            # the trainer's TPU production path (unsupervised_trainer.py
+            # auto mode): memory-decomposed sequential update, bf16
+            # cross-pass logits carry -- gradient-equivalent to the
+            # joint step (tests/test_training.py) at 1/3 the peak HBM
+            unsup = step_lib.make_unsupervised_sequential_step(
+                bundle.module, disc.module, classes, FineTuningLoss(),
+                carry_dtype=jnp.bfloat16)
 
         def make_unsup_state():
             import jax as _jax
@@ -161,6 +173,11 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
             for i in range(warmup):
                 state, metrics = step(state, jax.random.fold_in(key, i),
                                       images, masks)
+                if mode == "unsup":
+                    # the sequential chain's cross-program buffers are
+                    # k-fold live for k enqueued steps; bound in-flight
+                    # depth like the trainer's pipelined fetch does
+                    float(metrics["loss"])
             # fetch a scalar: block_until_ready returns early on remote
             # runtimes; a host fetch of the chained loss is the honest sync
             float(metrics["loss"])
@@ -174,9 +191,13 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
                 flops_per_step = None
 
             t0 = time.perf_counter()
+            prev = None
             for i in range(steps):
                 state, metrics = step(state, jax.random.fold_in(key, 100 + i),
                                       images, masks)
+                if mode == "unsup" and prev is not None:
+                    float(prev["loss"])  # lag-1 fetch (trainer's pipeline)
+                prev = metrics
             last_loss = float(metrics["loss"])
             dt = time.perf_counter() - t0
 

@@ -83,3 +83,48 @@ def test_dihedral_normalize_no_mask():
     # flags=0: identity (just dequantized)
     np.testing.assert_allclose(np.asarray(x[0]),
                                imgs[0].astype(np.float32) / 255.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# packed conv3x3 + BN-affine + ReLU (+ output moments) kernel
+# ---------------------------------------------------------------------------
+def test_packed_conv_bn_relu_parity():
+    """Fused kernel == relu(scale*x + shift) -> conv3x3-SAME, with exact
+    output moments (ops/pallas_conv.py; interpret mode on CPU)."""
+    from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_conv import (
+        packed_conv_bn_relu,
+    )
+
+    B, S, CI, CO = 2, 16, 8, 8
+    x = jnp.asarray(RNG.normal(size=(B, S, S, CI)).astype(np.float32))
+    k3 = jnp.asarray(0.1 * RNG.normal(size=(3, 3, CI, CO)).astype(np.float32))
+    scale = jnp.asarray(1.0 + 0.1 * RNG.normal(size=(CI,)).astype(np.float32))
+    shift = jnp.asarray(0.1 * RNG.normal(size=(CI,)).astype(np.float32))
+
+    y, (s, ss) = packed_conv_bn_relu(x, k3, scale, shift, moments=True,
+                                     interpret=True)
+    act = jnp.maximum(x * scale + shift, 0.0)
+    ref = jax.lax.conv_general_dilated(
+        act, k3, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(ref.sum((0, 1, 2))),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ss),
+                               np.asarray((ref * ref).sum((0, 1, 2))),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_packed_conv_bn_relu_no_affine():
+    from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_conv import (
+        packed_conv_bn_relu,
+    )
+
+    B, S, CI, CO = 1, 8, 4, 4
+    x = jnp.asarray(RNG.normal(size=(B, S, S, CI)).astype(np.float32))
+    k3 = jnp.asarray(0.1 * RNG.normal(size=(3, 3, CI, CO)).astype(np.float32))
+    y = packed_conv_bn_relu(x, k3, interpret=True)
+    ref = jax.lax.conv_general_dilated(
+        x, k3, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

@@ -282,6 +282,51 @@ def test_unsupervised_step_matches_single_device(seg_bundle, disc_bundle):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_unsupervised_sequential_matches_single_device(seg_bundle,
+                                                       disc_bundle):
+    """8-way sharded SEQUENTIAL phase-3 step == single-device.
+
+    The memory decomposition runs as several jit programs with device-
+    resident intermediates (views, logits) crossing program boundaries;
+    under a mesh each sub-program is SPMD-partitioned independently and
+    the carried buffers keep their batch sharding -- this asserts the
+    whole chain still reproduces the single-device update."""
+    import optax
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        FineTuningLoss,
+    )
+
+    rng = np.random.default_rng(9)
+    tgt = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    step = step_lib.make_unsupervised_sequential_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, FineTuningLoss(),
+        aug_cfg=NONE)
+    key = jax.random.key(8)
+
+    def fresh():
+        tx = optax.sgd(0.1)
+        params = jax.tree.map(jnp.array, {"seg": seg_bundle.params,
+                                          "disc": disc_bundle.params})
+        stats = jax.tree.map(jnp.array, {"seg": seg_bundle.batch_stats,
+                                         "disc": disc_bundle.batch_stats})
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          batch_stats=stats, opt_state=tx.init(params), tx=tx)
+
+    s1, m1 = step(fresh(), key, tgt, jnp.float32(1.0))
+
+    mesh = create_mesh(jax.devices()[:N_DEV])
+    k8 = jax.device_put(key, NamedSharding(mesh, P()))
+    s8, m8 = step(replicate(fresh(), mesh), k8, shard_batch(tgt, mesh),
+                  jnp.float32(1.0))
+
+    assert bool(m1["finite"]) and bool(m8["finite"])
+    assert abs(float(m1["total"]) - float(m8["total"])) < 1e-4
+    for p1, p8 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_spatial_partition_matches_single_device(seg_bundle):
     """Height-sharded forward == single-device forward (halo exchange
     inserted by the SPMD partitioner reproduces exact receptive fields)."""

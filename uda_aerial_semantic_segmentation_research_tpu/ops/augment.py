@@ -152,10 +152,12 @@ class AugmentConfig:
     # (ops/pallas_ops.dihedral_normalize) instead of the XLA
     # transpose/flip selects: "" = off, "exact" = HIGHEST-precision
     # (bit-exact relocation), "fast" = default MXU precision (< half a
-    # uint8 LSB).  Requires a uint8 input batch (the kernel fuses the
-    # dequant); used for the in-step A/B (see the pallas_ops module
-    # docstring for the recorded numbers).
-    pallas_dihedral: str = ""
+    # uint8 LSB), "auto" = "fast" on the TPU backend / off elsewhere.
+    # Requires a uint8 input batch (the kernel fuses the dequant).
+    # In-step A/B at B=128 @ 512px (r3): fast 405.6 ms / exact 409.0 ms
+    # vs 415.6 ms XLA -- the kernel is the TPU production path (the r2
+    # "XLA selects fuse into the wider program" hypothesis did not hold).
+    pallas_dihedral: str = "auto"
     # pixel-data dtype for the pipeline's intermediate math.  bfloat16
     # halves the HBM traffic of every elementwise pass and gather; its
     # ~8-bit mantissa matches the uint8 precision the reference's
@@ -374,8 +376,12 @@ def _warp_kg(n_sub: int, che: int, requested: int) -> int:
     magnitude draws the batch gets.  Large sub-batches are clamped so
     gather rows keep >= 128 lanes (narrow-row gathers are the TPU
     cliff); at <= 32 images the absolute gather volume is small enough
-    that magnitude diversity wins over lane packing."""
-    if n_sub <= 32:
+    that magnitude diversity wins over lane packing.  An EXPLICIT
+    ``requested >= n_sub`` (the user asked for per-image magnitudes)
+    bypasses the lane clamp -- without this, a per-image request was
+    silently folded back to the clamped default (kg=1-2 at bench
+    batch), which made per-image-vs-grouped A/Bs vacuous."""
+    if n_sub <= 32 or requested >= n_sub:
         return _n_groups(n_sub, requested)
     return _n_groups(n_sub, min(requested, max(1, (n_sub * che) // 128)))
 
@@ -1071,7 +1077,17 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     has_dihedral = cfg.p_rot90 > 0 or cfg.p_flip > 0 or cfg.p_transpose > 0
 
     k_dih, k_ssr, k_photo = jax.random.split(key, 3)
-    if (cfg.pallas_dihedral and has_dihedral
+    pallas_dihedral = cfg.pallas_dihedral
+    if pallas_dihedral == "auto":
+        # resolved at trace time; the kernel wins in-step on TPU
+        # (405.6 vs 415.6 ms at B=128 @ 512px) and runs interpreted
+        # (slowly) everywhere else.  Single chip only: under the
+        # jit+SPMD mesh path a pallas_call has no batch-partitioning
+        # rule, so multi-device programs keep the XLA dihedral until
+        # that is validated on real multi-chip hardware.
+        pallas_dihedral = ("fast" if jax.default_backend() == "tpu"
+                           and jax.device_count() == 1 else "")
+    if (pallas_dihedral and has_dihedral
             and jnp.issubdtype(images.dtype, jnp.integer)):
         # fused Pallas dequant+dihedral on the raw uint8 batch
         from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_ops import (
@@ -1080,7 +1096,7 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
         )
 
         a, b, c = _sample_dihedral(k_dih, n, cfg)
-        prec = (jax.lax.Precision.HIGHEST if cfg.pallas_dihedral == "exact"
+        prec = (jax.lax.Precision.HIGHEST if pallas_dihedral == "exact"
                 else jax.lax.Precision.DEFAULT)
         x, m = dihedral_normalize(images, flags_from_abc(a, b, c), m,
                                   normalize=False, precision=prec)

@@ -31,6 +31,23 @@ via a custom VJP:
 
 Exactness vs ``lax.conv_general_dilated(..., SAME)`` is pinned by
 tests/test_models.py (same dtype, same contraction order per tap).
+
+MEASURED VERDICT (r3, BASELINE.md variant ledger): the packing is a NET
+LOSS on the v5e and is NOT wired into any production path.
+
+- Inference (B=256 @ 512px, full Unet forward): 262.2 ms vs 154.0 ms
+  for the plain convs -- the depth-to-space interleave materializes as
+  6-D transpose copies that cost more than the lane-occupancy gain, and
+  the 1.78x extra MACs compound it.
+- Training (B=128 @ 512px): compile-time OOM at 30.9 G -- the
+  transpose adjoints materialize f32 (B, H/2, 2, W/2, 2, C) buffers
+  (2 GB each) on the backward path.
+
+The lane-occupancy theory said a 16-channel conv wastes ~87% of MXU
+output lanes; the measurement says XLA's own schedule for low-channel
+convs beats explicit 2x2 packing end-to-end.  Kept as a tested,
+documented negative result (``Unet(packed_decoder=True)`` remains
+available for other chips/compilers).
 """
 
 from __future__ import annotations
@@ -60,12 +77,16 @@ def _depth_to_space_2x2(y):
 
 
 def _packed_fwd(x, k3):
-    """3x3 SAME conv of NHWC ``x`` (even H, W) via the packed stride-2 conv."""
-    b, h, w, _ = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    """3x3 SAME conv of NHWC ``x`` (even H, W) via the packed stride-2 conv.
+
+    Padding rides in the convolution's own config -- an explicit
+    ``jnp.pad`` materializes a full-resolution copy of the activation
+    (XLA:TPU does not reliably fold pad into a strided conv operand; at
+    B=128 @ 512px the training step's padded copies alone exceeded HBM).
+    """
     y = jax.lax.conv_general_dilated(
-        xp, _expand_kernel_2x2(k3.astype(x.dtype)),
-        window_strides=(2, 2), padding="VALID",
+        x, _expand_kernel_2x2(k3.astype(x.dtype)),
+        window_strides=(2, 2), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return _depth_to_space_2x2(y)
 

@@ -34,7 +34,19 @@ Data layout contracts (all shapes static):
                               fold with fold_moments -> per-channel
                               (sum, sumsq) over (B, H, W)
 
-Status: see PARITY.md / the in-step A/B numbers recorded below.
+Status (r3): COMPILES AND RUNS ON THE TPU after replacing the kernel's
+lane-concatenation of shifted row views with four accumulated matmuls
+(Mosaic rejects ``tpu.concatenate`` of vectors whose sublane offsets
+differ: "result/input offset mismatch on non-concat dimension" -- the
+r2 interpret-mode parity run never caught this).  IN-STEP A/B, full
+Unet forward at B=256 @ 512px serving shape: **318.5 ms with
+``pallas_eval=True`` vs 154.0 ms plain XLA** -- the fused kernel LOSES
+2x.  The packed-domain pack/unpack shuffles around the kernel cost more
+than the fused BN/ReLU passes save, the same failure mode as the pure
+XLA packing (ops/packed_conv.py measured verdict).  XLA stays the
+production path for both serving and training; the kernel is kept as
+the blueprint-named artifact with its honest number, and as a Mosaic
+layout-rule regression test (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -120,6 +132,7 @@ def _conv_kernel(xp_ref, xnx_ref, km_ref, aff_ref, yp_ref, mom_ref, *,
     (BlockSpec windows cannot overlap).
     """
     km = km_ref[...]
+    c4 = km.shape[0] // 4
     o4 = km.shape[-1]
     if affine:
         scale = aff_ref[0:1]                                    # (1, c4)
@@ -134,10 +147,18 @@ def _conv_kernel(xp_ref, xnx_ref, km_ref, aff_ref, yp_ref, mom_ref, *,
     prev = row(xp_ref[0, 0])
     for i in range(hb):
         cur = row(xp_ref[0, i + 1] if i + 1 < hb else xnx_ref[0, 0])
-        p = jnp.concatenate(
-            [prev[0:wo], prev[1:wo + 1], cur[0:wo], cur[1:wo + 1]],
-            axis=-1)                                            # (wo, 4c4)
-        y = jnp.dot(p, km, preferred_element_type=jnp.float32)  # (wo, o4)
+        # one matmul per (di, dj) shifted view, accumulated: Mosaic
+        # cannot lane-concatenate vectors whose sublane offsets differ
+        # ("result/input offset mismatch on non-concat dimension"), so
+        # the (wo, 4*c4) patch matrix is never materialized
+        y = jnp.dot(prev[0:wo], km[0 * c4:1 * c4],
+                    preferred_element_type=jnp.float32)
+        y = y + jnp.dot(prev[1:wo + 1], km[1 * c4:2 * c4],
+                        preferred_element_type=jnp.float32)
+        y = y + jnp.dot(cur[0:wo], km[2 * c4:3 * c4],
+                        preferred_element_type=jnp.float32)
+        y = y + jnp.dot(cur[1:wo + 1], km[3 * c4:4 * c4],
+                        preferred_element_type=jnp.float32)     # (wo, o4)
         yp_ref[0, i] = y.astype(yp_ref.dtype)
         if moments:
             acc = acc + jnp.concatenate(

@@ -26,16 +26,19 @@ Status notes:
   a 1.5 GB transpose each way (measured 480 vs 449 ms/step at
   B=128 @ 512px), so the XLA CE stays production; the kernel is kept
   for (C, N)-native callers and as the layout-rule regression test.
-- ``dihedral_normalize``: COMPILES AND RUNS ON THE TPU.  Three Mosaic
-  gaps were engineered around: no ``rev`` lowering (flips run as gated
-  anti-identity permutation matmuls on the MXU), no slicing of 3-wide
-  channel-minor blocks (channel-planar (B, C, H, W) layout, grid
-  (B, C)), no select over i1 vectors (operands cast to f32 first).
-  On-chip at B=128 @ 512px: 11.6 ms exact (HIGHEST) / 4.8 ms at
-  default MXU precision (< half a uint8 LSB error) vs 18.4 ms for the
-  XLA dihedral passes; masks exact at any precision.  The XLA path
-  (ops/augment._apply_dihedral) remains production because its selects
-  fuse into the surrounding augmentation program.
+- ``dihedral_normalize``: COMPILES AND RUNS ON THE TPU, and is the
+  TPU-backend PRODUCTION path (AugmentConfig.pallas_dihedral="auto").
+  Three Mosaic gaps were engineered around: no ``rev`` lowering (flips
+  run as gated anti-identity permutation matmuls on the MXU), no
+  slicing of 3-wide channel-minor blocks (channel-planar (B, C, H, W)
+  layout, grid (B, C)), no select over i1 vectors (operands cast to
+  f32 first).  On-chip at B=128 @ 512px: 11.6 ms exact (HIGHEST) /
+  4.8 ms at default MXU precision (< half a uint8 LSB error) vs
+  18.4 ms for the XLA dihedral passes.  FULL-STEP A/B (r3, supervised
+  step B=128 @ 512px): fast 405.6 ms / exact 409.0 ms vs 415.6 ms XLA
+  -- the r2 hypothesis that the XLA selects win by fusing into the
+  wider program did NOT hold; "fast" is the default (its error is
+  below the uint8 input quantization; masks are exact either way).
 """
 
 from __future__ import annotations
@@ -114,16 +117,21 @@ def _dihedral_norm_kernel(flags_ref, img_ref, out_ref, *, normalize: bool,
 
 
 def _dihedral_mask_kernel(flags_ref, mask_ref, out_ref):
-    b = pl.program_id(0)
-    bits = flags_ref[b]
-    m = mask_ref[:].astype(jnp.float32)   # labels < 2^24: exact in f32
+    """Mask planes travel as f32 (cast OUTSIDE the kernel) and are
+    indexed DIRECTLY off the (1, H, W) block ref: Mosaic rejects this
+    kernel when the lane (W) dim is < 128 if the mask block is int32 or
+    if the (H, W) plane is carved out via an ``.at[0]`` sub-ref
+    (remote-compile failure at 64px tiles, fine at >= 128); f32 blocks
+    with plain ``ref[0]`` indexing lower at any tile size.  Labels
+    < 2^24 are exact in f32 and XLA fuses the outside casts."""
+    bits = flags_ref[pl.program_id(0)]
+    m = mask_ref[0]
     do_t = (bits & 1) != 0
     m = jnp.where(do_t, jnp.swapaxes(m, 0, 1), m)
     ry, rx = _flip_mats(bits, m.shape[0])
     # default precision is exact here: labels < 256 are representable in
     # bf16 and each output accumulates exactly one nonzero product
-    m = jax.lax.dot(ry, jax.lax.dot(m, rx))
-    out_ref[:] = m.astype(out_ref.dtype)
+    out_ref[0] = jax.lax.dot(ry, jax.lax.dot(m, rx))
 
 
 @partial(jax.jit, static_argnames=("normalize", "interpret", "precision"))
@@ -178,15 +186,12 @@ def dihedral_normalize(images, flags, masks=None, *, normalize: bool = False,
             out_specs=pl.BlockSpec((1, h, w), lambda i, flags: (i, 0, 0)),
         )
 
-        def mask_kernel(flags_ref, mask_ref, out_ref):
-            _dihedral_mask_kernel(flags_ref, mask_ref.at[0], out_ref.at[0])
-
         out_mask = pl.pallas_call(
-            mask_kernel,
+            _dihedral_mask_kernel,
             grid_spec=mask_spec,
-            out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
             interpret=interpret,
-        )(flags, masks.astype(jnp.int32))
+        )(flags, masks.astype(jnp.float32)).astype(jnp.int32)
     return out, out_mask
 
 

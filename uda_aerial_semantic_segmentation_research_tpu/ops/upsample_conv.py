@@ -68,13 +68,13 @@ def upsample2x_conv3x3(x, kernel, preferred_dtype=None):
     """
     b, h, w, _ = x.shape
     cout = kernel.shape[-1]
-    # zero-pad once: covers the (m-1) taps of phase 0 and (m+1) of phase 1
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     phases = _phase_kernels(kernel.astype(x.dtype))
     k_all = jnp.concatenate([phases[(r, s)] for r in (0, 1) for s in (0, 1)],
                             axis=-1)                       # (2,2,Cin,4*Cout)
+    # padding in the conv config: an explicit jnp.pad materializes a
+    # full-resolution activation copy on TPU (see ops/packed_conv.py)
     y = jax.lax.conv_general_dilated(
-        xp, k_all, window_strides=(1, 1), padding="VALID",
+        x, k_all, window_strides=(1, 1), padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=preferred_dtype)            # (B,H+1,W+1,4C)
 

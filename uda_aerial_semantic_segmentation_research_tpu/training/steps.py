@@ -288,6 +288,50 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
 # ---------------------------------------------------------------------------
 # phase 3: unsupervised consistency fine-tuning
 # ---------------------------------------------------------------------------
+def _chunked_consistency(cons_fn, rows: int = 32):
+    """Row-chunked, rematerialized symmetric-KL consistency loss.
+
+    The KL's f32 softmax/log-softmax transients over full (B, H, W, C)
+    logits are the phase-3 step's largest buffers (2x 3 GB at
+    B=112 @ 512px/23c in the OOM dump) even under ``jax.checkpoint`` --
+    the recompute itself still materializes whole-batch f32 tensors.
+    A ``lax.scan`` over H-row chunks with a checkpointed body bounds
+    every transient to (B, rows, W, C).
+
+    Exact: the loss is a batchmean sum over all pixels (divided by B,
+    independent of H), so per-pixel terms are additive over row chunks
+    and the chunk losses sum to the unchunked value to float
+    reassociation.  Chunking rides the H axis -- not batch -- so data-
+    parallel batch sharding passes through untouched (each chunk's
+    dynamic_slice is layout- and sharding-local).
+    """
+
+    def f(z1, z2):
+        h = z1.shape[1]
+        if h <= rows or h % rows:
+            return jax.checkpoint(cons_fn)(z1, z2)
+        n = h // rows
+
+        # slice INSIDE the checkpointed region: z1/z2 then enter the
+        # scan as loop constants (saved once), not per-step stacked
+        # residuals (which would copy both logits tensors wholesale)
+        @jax.checkpoint
+        def chunk_loss(z1, z2, i):
+            a = jax.lax.dynamic_slice_in_dim(z1, i * rows, rows, axis=1)
+            b = jax.lax.dynamic_slice_in_dim(z2, i * rows, rows, axis=1)
+            return cons_fn(a, b)
+
+        def body(acc, i):
+            return acc + chunk_loss(z1, z2, i), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              jnp.arange(n))
+        return acc
+
+    return f
+
+
+
 def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
                                  fine_tuning_loss: FineTuningLoss,
                                  aug_cfg: AugmentConfig = STRONG,
@@ -306,6 +350,23 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
     as ``supervised_pred`` (a bug -- unsupervised_trainer.py:130); here
     the model is actually run on the supervised batch.
     """
+    import copy
+
+    # rematerialize the consistency KL's softmax residuals (see
+    # make_unsupervised_sequential_step) -- same gradients, the KL's
+    # 4x f32 (B, H, W, C) saved buffers become backward recomputes
+    fine_tuning_loss = copy.copy(fine_tuning_loss)
+    fine_tuning_loss.consistency_loss = _chunked_consistency(
+        fine_tuning_loss.consistency_loss)
+    # pre-cast views to the models' compute dtype: the first conv casts
+    # there anyway, so this is value-identical and halves the f32 view
+    # buffers (3x (B, H, W, 3) -- the margin between fitting B=64 and
+    # compile-OOM by ~50 MB on a 16 GB chip)
+    seg_dtype = getattr(seg_module, "dtype", None)
+    disc_dtype = getattr(disc_module, "dtype", None)
+
+    def _cast(x, dtype):
+        return x.astype(dtype) if dtype is not None else x
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, key, tgt_images, epoch, sup_images=None, sup_masks=None):
@@ -313,7 +374,8 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
         k1, k2, k3 = jax.random.split(key, 3)  # keep in sync with sequential step
         v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
         v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
-        x0 = normalize_images(tgt_images)
+        v1, v2 = _cast(v1, seg_dtype), _cast(v2, seg_dtype)
+        x0 = _cast(normalize_images(tgt_images), disc_dtype)
 
         def loss_fn(params):
             p1, seg_stats = _apply_train(seg_module, params["seg"],
@@ -326,7 +388,7 @@ def make_unsupervised_train_step(seg_module, disc_module, num_classes: int,
             if with_supervised:
                 xs, ms = augment_batch(k3, sup_images, sup_masks, cfg=WEAK)
                 sup_pred, seg_stats = _apply_train(seg_module, params["seg"],
-                                                   seg_stats, xs)
+                                                   seg_stats, _cast(xs, seg_dtype))
                 sup_tgt = ms
             losses = fine_tuning_loss(p1, p2, domain_logits, epoch,
                                       supervised_pred=sup_pred,
@@ -393,7 +455,19 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
     (reference src/models/losses.py:62-90 -- no detach).
     """
     ftl = fine_tuning_loss
-    cons = ftl.consistency_loss
+    # batch-chunked + rematerialized consistency KL (see
+    # _chunked_consistency): its f32 softmax transients over the whole
+    # batch were the phase-3 step's largest buffers
+    cons = _chunked_consistency(ftl.consistency_loss)
+    # cross-program view buffers are stored in the model's compute dtype:
+    # the first encoder conv casts its input there anyway, so pre-casting
+    # is value-identical and halves the carried-view HBM (f32 -> bf16)
+    view_dtype = getattr(seg_module, "dtype", None)
+    disc_dtype = getattr(disc_module, "dtype", None)
+
+    def _view(x, dtype=None):
+        dtype = dtype if dtype is not None else view_dtype
+        return x.astype(dtype) if dtype is not None else x
 
     def _carry(z):
         return z.astype(carry_dtype) if carry_dtype is not None else z
@@ -407,7 +481,8 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
             v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
             x0 = normalize_images(tgt_images)
             xs, ms = augment_batch(k3, sup_images, sup_masks, cfg=WEAK)
-            return v1, v2, x0, xs, ms
+            return (_view(v1), _view(v2), _view(x0, disc_dtype),
+                    _view(xs), ms)
     else:
         @jax.jit
         def prep(key, step, tgt_images):
@@ -416,7 +491,7 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
             v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
             v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
             x0 = normalize_images(tgt_images)
-            return v1, v2, x0
+            return _view(v1), _view(v2), _view(x0, disc_dtype)
 
     @jax.jit
     def fwd_view1(seg_params, seg_stats, v1):
@@ -544,4 +619,10 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
             return combine(state, g1, g2, gd, cons_v, dom_v,
                            stats2, disc_stats, dlogits, epoch)
 
+    # introspection hook: per-program AOT memory analysis (tools/, debug)
+    step.programs = {"prep": prep, "fwd_view1": fwd_view1,
+                     "grad_view2": grad_view2, "grad_view1": grad_view1,
+                     "grad_disc": grad_disc, "combine": combine}
+    if with_supervised:
+        step.programs["grad_sup"] = grad_sup
     return step

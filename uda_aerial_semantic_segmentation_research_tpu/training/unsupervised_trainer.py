@@ -23,6 +23,7 @@ never saw).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -55,7 +56,8 @@ class UnsupervisedTrainer(SegmentationTrainer):
     def __init__(self, model, device=None, consistency_weight: float = 1.0,
                  domain_weight: float = 0.1, supervised_weight: float = 0.1,
                  rampup_length: int = 40, log_interval: int = 10,
-                 patience: int = 7, remat: bool = True):
+                 patience: int = 7, remat: bool = True,
+                 sequential: Optional[bool] = None, carry_dtype=None):
         if isinstance(model, DomainAdaptationModel):
             seg_bundle = model.segmentation_model
             discriminator = model.discriminator
@@ -82,6 +84,21 @@ class UnsupervisedTrainer(SegmentationTrainer):
         # block remat (numerically identical, same param tree) lifts the
         # HBM wall from B=16 to B>=64 at 512px (BASELINE.md)
         self.remat = remat
+        # sequential: split the update into per-view backward programs
+        # (steps.make_unsupervised_sequential_step) -- identical gradients
+        # at one forward+backward's peak HBM, for still-larger batches.
+        # None = auto: ON for the TPU backend (measured r3: seq@B=128 =
+        # 106.7 t/s vs joint@B=64 = 86.3 t/s on one v5e), OFF elsewhere
+        # (CPU tests compile 1 program instead of 6).  carry_dtype
+        # narrows the cross-pass logits buffers; auto picks bfloat16 on
+        # TPU (value-near-identical: the KL consumes bf16-computed
+        # logits either way).
+        if sequential is None:
+            sequential = jax.default_backend() == "tpu"
+            if sequential and carry_dtype is None:
+                carry_dtype = jnp.bfloat16
+        self.sequential = sequential
+        self.carry_dtype = carry_dtype
 
         self.best_score = float("-inf")
         self.best_epoch = 0
@@ -113,7 +130,20 @@ class UnsupervisedTrainer(SegmentationTrainer):
             seg_module = self.model.module
             if self.remat and getattr(seg_module, "remat", True) is False:
                 seg_module = seg_module.clone(remat=True)
-            self._unsup_steps[with_supervised] = step_lib.make_unsupervised_train_step(
+            # bf16 logits are VALUE-IDENTICAL when the head computes in
+            # bf16 (the f32 logits are upcast bf16 numbers) and halve the
+            # phase-3 step's dominant buffers: p1/p2 are held across the
+            # whole program as KL targets (2x f32 (B, H, W, C) was the
+            # single largest allocation group in the B=64 OOM dump)
+            if (getattr(seg_module, "dtype", None) == jnp.bfloat16
+                    and getattr(seg_module, "logits_dtype", None) == jnp.float32):
+                seg_module = seg_module.clone(logits_dtype=jnp.bfloat16)
+            if self.sequential:
+                make = partial(step_lib.make_unsupervised_sequential_step,
+                               carry_dtype=self.carry_dtype)
+            else:
+                make = step_lib.make_unsupervised_train_step
+            self._unsup_steps[with_supervised] = make(
                 seg_module, self.discriminator.module, self.num_classes,
                 self.fine_tuning_loss, with_supervised=with_supervised)
         return self._unsup_steps[with_supervised]
