@@ -229,6 +229,63 @@ def test_fused_decoder_matches_naive(batch):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_dilated_decoder_matches_naive(batch):
+    """The lhs_dilation=2 tap-folded decoder (fused_decoder="dilated",
+    the TPU production default since r3) must equal the naive
+    upsample+concat+conv path with the SAME variables."""
+    from uda_aerial_semantic_segmentation_research_tpu.models.unet import Unet
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        normalize_images,
+    )
+
+    images, _ = batch
+    x = normalize_images(jnp.asarray(images))
+    dil = Unet(encoder_name="resnet18", classes=CLASSES,
+               dtype=jnp.float32, fused_decoder="dilated")
+    naive = Unet(encoder_name="resnet18", classes=CLASSES,
+                 dtype=jnp.float32, fused_decoder=False)
+    variables = dil.init(jax.random.key(0), jnp.zeros((1, SIZE, SIZE, 3)))
+    y_d = dil.apply(variables, x)
+    y_n = naive.apply(variables, x)  # identical param tree by construction
+    np.testing.assert_allclose(np.asarray(y_d), np.asarray(y_n),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_dilated_upsample_conv_exact():
+    """upsample2x_conv3x3_dilated == conv3x3_same(nearest_up2(x)) in f32,
+    forward and both gradients (ops/upsample_conv.py tap folding)."""
+    from uda_aerial_semantic_segmentation_research_tpu.ops.upsample_conv import (
+        upsample2x_conv3x3_dilated,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 9, 7, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(3, 3, 5, 6)).astype(np.float32))
+
+    def up2(t):
+        b, h, ww, c = t.shape
+        t = jnp.broadcast_to(t[:, :, None, :, None, :], (b, h, 2, ww, 2, c))
+        return t.reshape(b, h * 2, ww * 2, c)
+
+    def ref(x, w):
+        return jax.lax.conv_general_dilated(
+            up2(x), w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    y = upsample2x_conv3x3_dilated(x, w)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref(x, w)),
+                               atol=1e-4, rtol=1e-4)
+
+    gx, gw = jax.grad(lambda x, w: jnp.sum(
+        jnp.sin(upsample2x_conv3x3_dilated(x, w))), argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(lambda x, w: jnp.sum(jnp.sin(ref(x, w))),
+                      argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_packed_conv_matches_lax_conv():
     """conv3x3_packed == lax 3x3 SAME conv, forward and both gradients
     (the 2x2 space-to-depth lane packing is a pure execution-schedule

@@ -112,6 +112,10 @@ class DecoderBlock(nn.Module):
     filters: int
     dtype: Any = jnp.bfloat16
     fused: bool = True
+    # which fused upsample+conv schedule: "phase" (combined 4-phase conv
+    # + slice/stack interleave) or "dilated" (single lhs_dilation=2 conv
+    # with the tap-folded 4x4 kernel; see ops/upsample_conv.py)
+    fused_impl: str = "phase"
     # 2x2-space-to-depth lane packing for the low-channel convs (see
     # ops/packed_conv.py): applied to convs whose output channels would
     # occupy <= 32 of the MXU's 128 output lanes
@@ -129,6 +133,7 @@ class DecoderBlock(nn.Module):
         )
         from uda_aerial_semantic_segmentation_research_tpu.ops.upsample_conv import (
             upsample2x_conv3x3,
+            upsample2x_conv3x3_dilated,
         )
 
         conv = partial(nn.Conv, use_bias=False, padding="SAME",
@@ -149,9 +154,11 @@ class DecoderBlock(nn.Module):
         cup = x.shape[-1]
         cs = 0 if skip is None else skip.shape[-1]
         if self.fused:
+            up_conv = (upsample2x_conv3x3_dilated
+                       if self.fused_impl == "dilated" else upsample2x_conv3x3)
             w1 = _Conv3x3Kernel(self.filters, cup + cs, name="conv1")()
             w1 = w1.astype(self.dtype)
-            y = upsample2x_conv3x3(x.astype(self.dtype), w1[:, :, :cup])
+            y = up_conv(x.astype(self.dtype), w1[:, :, :cup])
             if skip is not None:
                 sk = skip.astype(self.dtype)
                 if pack and sk.shape[1] % 2 == 0 and sk.shape[2] % 2 == 0:
@@ -192,7 +199,9 @@ class UnetDecoder(nn.Module):
     # True/False applies the fused upsample+conv to all/no blocks; a
     # tuple of block indices (0 = lowest resolution) fuses only those --
     # the high-resolution blocks (3, 4) are where the naive path's 4x
-    # upsampled intermediate is the multi-GB one
+    # upsampled intermediate is the multi-GB one.  The string "dilated"
+    # fuses all blocks via the single lhs_dilation=2 tap-folded conv
+    # (ops/upsample_conv.upsample2x_conv3x3_dilated)
     fused: Any = False
     remat: bool = False
     packed: bool = False
@@ -208,10 +217,12 @@ class UnetDecoder(nn.Module):
         # sit at (1, 2, 3) and only train is a static Python bool
         block_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
                      if self.remat else DecoderBlock)
+        impl = "dilated" if self.fused == "dilated" else "phase"
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
             fused = (i in self.fused if isinstance(self.fused, tuple)
                      else bool(self.fused))
             x = block_cls(ch, dtype=self.dtype, fused=fused,
+                          fused_impl=impl,
                           packed=self.packed, pallas_eval=self.pallas_eval,
                           name=f"block{i}")(x, skip, train)
         return x
@@ -226,8 +237,12 @@ class Unet(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     activation: Optional[str] = None
     dtype: Any = jnp.bfloat16
-    # bool, or a tuple of decoder block indices to fuse (see UnetDecoder)
-    fused_decoder: Any = False
+    # bool, a tuple of decoder block indices to fuse, "dilated" for the
+    # lhs_dilation=2 tap-folded schedule (see UnetDecoder), or "auto"
+    # (the default): "dilated" on the TPU backend -- measured 346.4 vs
+    # 405.6 ms/step at B=128 @ 512px (BASELINE.md r3 ledger), numerics
+    # pinned by tests/test_models.py -- and the naive path elsewhere
+    fused_decoder: Any = "auto"
     # dtype the logits are RETURNED in.  float32 is the parity default;
     # bfloat16 halves the largest tensor in training (B, H, W, 23) and
     # lets a fused loss consume it without an f32 materialization -- the
@@ -244,10 +259,15 @@ class Unet(nn.Module):
     pallas_eval: bool = False
 
     def setup(self):
+        fused = self.fused_decoder
+        if fused == "auto":
+            # resolved at trace time; pure XLA either way, so both
+            # resolutions are SPMD/mesh-safe (unlike the Pallas paths)
+            fused = "dilated" if jax.default_backend() == "tpu" else False
         self.encoder = build_encoder(self.encoder_name, self.in_channels,
                                      self.dtype, remat=self.remat)
         self.decoder = UnetDecoder(self.decoder_channels, self.dtype,
-                                   fused=self.fused_decoder,
+                                   fused=fused,
                                    remat=self.remat,
                                    packed=self.packed_decoder,
                                    pallas_eval=self.pallas_eval)

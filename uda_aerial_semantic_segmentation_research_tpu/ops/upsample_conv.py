@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _phase_kernels(kernel):
@@ -86,3 +87,42 @@ def upsample2x_conv3x3(x, kernel, preferred_dtype=None):
     bot = jnp.stack([phase(2, 1, 0), phase(3, 1, 1)], axis=3)
     y = jnp.stack([top, bot], axis=2)
     return y.reshape(b, 2 * h, 2 * w, cout)
+
+
+# tap-folding matrix: A[di, t] = 1 iff source tap di contributes to
+# dilated-kernel tap t; T(0)={0}, T(1)={0,1}, T(2)={1,2}, T(3)={2}.
+# A host-side numpy constant (a cached jnp array would leak tracers
+# across jit scopes).
+_FOLD = np.asarray([[1, 1, 0, 0], [0, 1, 1, 0], [0, 0, 1, 1]],
+                   dtype=np.float32)
+
+
+def upsample2x_conv3x3_dilated(x, kernel, preferred_dtype=None):
+    """conv3x3-SAME over the nearest-2x upsampling of ``x`` as ONE
+    input-dilated (transposed-style) convolution.
+
+    Nearest upsampling duplicates pixels, so taps of the 3x3 kernel
+    that land on the same source pixel can be PRE-SUMMED into a 4x4
+    kernel over the 2x-dilated input grid:
+
+        conv3x3_same(nearest_up2(x)) ==
+        conv(x, k4, lhs_dilation=2, padding=(2, 2))
+        with k4[t, s] = sum_{di in T(t), dj in T(s)} w[di, dj],
+        T(0)={0}, T(1)={0,1}, T(2)={1,2}, T(3)={2}.
+
+    Unlike the phase-decomposed form above, there is no slice/stack
+    interleave on the output side -- XLA:TPU lowers ``lhs_dilation``
+    convolutions natively (its transposed-conv path), and the
+    duplicate-tap folding means 16 tap-mults per 2x2 output quad
+    instead of the naive 36.  The fold runs in f32 on the (3,3,Ci,Co)
+    weights (one tiny einsum per step); exactness vs the naive path is
+    pinned by tests/test_models.py.
+    """
+    a = _FOLD
+    k4 = jnp.einsum("it,js,ijco->tsco", a, a, kernel.astype(jnp.float32))
+    y = jax.lax.conv_general_dilated(
+        x, k4.astype(x.dtype), window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype)
+    return y

@@ -59,6 +59,16 @@ def spatial_forward(module, variables, images, mesh: Mesh,
     Returns logits with the SAME (batch, height) sharding.  ``images``
     may be a host array or an already-placed global array.
     """
+    # height-sharded programs keep the NAIVE upsample+conv decoder: the
+    # SPMD partitioner mis-phases lhs_dilation=2 windows over small
+    # height shards (measured: ~7e-3 abs error spread over 99% of the
+    # sharded-vs-single output at /32-resolution shards,
+    # tests/test_parallel.py::test_spatial_partition_dilated_decoder),
+    # while plain 3x3 windows partition exactly.  Batch-only meshes are
+    # unaffected (the batch dim carries no conv window) and keep the
+    # fast dilated schedule.  Same parameter tree either way.
+    if getattr(module, "fused_decoder", None) in ("auto", "dilated", True):
+        module = module.clone(fused_decoder=False)
     img_sharding = spatial_image_sharding(mesh)
     rep = NamedSharding(mesh, P())
     x = jax.device_put(images, img_sharding)
