@@ -341,9 +341,9 @@ def test_packed_decoder_matches_plain(batch):
 
 
 def test_remat_unet_matches_plain(batch):
-    """remat=True: same parameter tree; one supervised train step gives
-    identical loss and updated params (rematerialization must be a pure
-    memory/schedule change)."""
+    """remat in {True, "encoder", "decoder"}: same parameter tree; one
+    supervised train step gives identical loss and updated params
+    (rematerialization must be a pure memory/schedule change)."""
     from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
     from uda_aerial_semantic_segmentation_research_tpu.training import (
         steps as step_lib,
@@ -356,7 +356,7 @@ def test_remat_unet_matches_plain(batch):
     images, masks = batch
     key = jax.random.key(2)
     outs = {}
-    for rm in (False, True):
+    for rm in (False, True, "encoder", "decoder"):
         b = create_unet(encoder_name="resnet18", classes=CLASSES,
                         image_size=SIZE, encoder_weights=None,
                         dtype=jnp.float32, remat=rm)
@@ -364,10 +364,11 @@ def test_remat_unet_matches_plain(batch):
         st, m = step(TrainState.from_bundle(b, adam(1e-3)), key,
                      jnp.asarray(images), jnp.asarray(masks))
         outs[rm] = (float(m["loss"]), jax.tree.leaves(st.params))
-    assert outs[False][0] == pytest.approx(outs[True][0], abs=1e-6)
-    for a, b_ in zip(outs[False][1], outs[True][1]):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
-                                   atol=1e-6, rtol=1e-6)
+    for rm in (True, "encoder", "decoder"):
+        assert outs[False][0] == pytest.approx(outs[rm][0], abs=1e-6)
+        for a, b_ in zip(outs[False][1], outs[rm][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-6, rtol=1e-6)
 
 
 def test_mobilenet_v2_encoder(batch):

@@ -248,9 +248,13 @@ class Unet(nn.Module):
     # lets a fused loss consume it without an f32 materialization -- the
     # per-pixel CE is computed in f32 either way (ops/losses.py upcasts).
     logits_dtype: Any = jnp.float32
-    # per-block activation rematerialization (encoder + decoder); same
-    # parameter tree, so remat and non-remat checkpoints interchange
-    remat: bool = False
+    # per-block activation rematerialization: True remats encoder AND
+    # decoder blocks; "encoder"/"decoder" remat only that half (saving
+    # the other half's activations buys back its recompute at the cost
+    # of its saved-activation HBM -- phase 3's grad programs have ~4 GB
+    # of headroom under full remat at B=128, see BASELINE.md).  Same
+    # parameter tree either way, so checkpoints interchange freely.
+    remat: Any = False
     # 2x2 lane packing for the low-channel decoder/head convs
     # (ops/packed_conv.py); numerically exact, same parameter tree
     packed_decoder: bool = False
@@ -264,11 +268,13 @@ class Unet(nn.Module):
             # resolved at trace time; pure XLA either way, so both
             # resolutions are SPMD/mesh-safe (unlike the Pallas paths)
             fused = "dilated" if jax.default_backend() == "tpu" else False
+        enc_remat = self.remat is True or self.remat == "encoder"
+        dec_remat = self.remat is True or self.remat == "decoder"
         self.encoder = build_encoder(self.encoder_name, self.in_channels,
-                                     self.dtype, remat=self.remat)
+                                     self.dtype, remat=enc_remat)
         self.decoder = UnetDecoder(self.decoder_channels, self.dtype,
                                    fused=fused,
-                                   remat=self.remat,
+                                   remat=dec_remat,
                                    packed=self.packed_decoder,
                                    pallas_eval=self.pallas_eval)
         if self.packed_decoder and self.classes <= 32:
