@@ -137,3 +137,26 @@ def test_confusion_matrix_exact_beyond_f32_precision():
     expected = np.zeros((3, 3), np.int64)
     np.add.at(expected, (t, p), 1)
     np.testing.assert_array_equal(hist2, expected)
+
+
+def test_hist_int8_path_matches_chunked():
+    """The opt-in s8 MXU histogram (UDA_TPU_INT8_HIST) must equal the
+    bf16-chunked default, including above 2^24 where f32 accumulation
+    would round (int32 accumulator via preferred_element_type)."""
+    import jax.numpy as jnp
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops import metrics as M
+
+    n = (1 << 25) + 777          # beyond f32 integer exactness, unaligned
+    pred = jnp.zeros((n,), jnp.int32)
+    true = jnp.zeros((n,), jnp.int32)
+    hist = np.asarray(M._hist_int8(true, pred, 2))
+    assert hist.dtype == np.int32
+    assert hist[0, 0] == n and hist.sum() == n
+
+    rng = np.random.default_rng(1)
+    m = 100_003
+    p = jnp.asarray(rng.integers(0, 5, m).astype(np.int32))
+    t = jnp.asarray(rng.integers(0, 5, m).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(M._hist_int8(t, p, 5)),
+                                  np.asarray(M._hist_chunk(t, p, 5)))

@@ -36,6 +36,16 @@ import numpy as np
 # f32 MXU accumulator: partial sums are monotone integers <= 2^23 < 2^24
 _EXACT_CHUNK = 1 << 23
 
+# int8 x int8 -> int32 one-hot contraction: exact to 2^31 per cell (no
+# chunking) and HALF the one-hot HBM bytes of the bf16 path.  Opt-in
+# until verified on the target backend: a backend that silently upcasts
+# the s8 dot to f32 would break exactness above 2^24, so the TPU default
+# stays bf16-chunked unless the runtime self-check in tests/test_metrics
+# (or bench) has blessed the generation.  Toggle: UDA_TPU_INT8_HIST=1.
+import os as _os
+
+_INT8_HIST = _os.environ.get("UDA_TPU_INT8_HIST", "0") == "1"
+
 
 def _hist_chunk(true, pred, num_classes: int):
     """Exact (C, C) histogram of one <=2^23-pixel chunk via MXU matmul."""
@@ -45,6 +55,14 @@ def _hist_chunk(true, pred, num_classes: int):
     hist = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
     return hist.astype(jnp.int32)
+
+
+def _hist_int8(true, pred, num_classes: int):
+    """Exact (C, C) histogram of the WHOLE input via an s8 MXU matmul."""
+    a = jax.nn.one_hot(true, num_classes, dtype=jnp.int8)
+    b = jax.nn.one_hot(pred, num_classes, dtype=jnp.int8)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("num_classes",))
@@ -70,6 +88,9 @@ def confusion_matrix(pred, true, num_classes: int, ignore_index: Optional[int] =
     if ignore_index is not None:
         mask = mask & (true != ignore_index)
     true = jnp.where(mask, true, num_classes)       # one_hot zeroes the row
+
+    if _INT8_HIST:
+        return _hist_int8(true, pred, num_classes)
 
     n = true.shape[0]
     if n <= _EXACT_CHUNK:
