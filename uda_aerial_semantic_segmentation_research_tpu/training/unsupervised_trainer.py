@@ -56,7 +56,7 @@ class UnsupervisedTrainer(SegmentationTrainer):
     def __init__(self, model, device=None, consistency_weight: float = 1.0,
                  domain_weight: float = 0.1, supervised_weight: float = 0.1,
                  rampup_length: int = 40, log_interval: int = 10,
-                 patience: int = 7, remat: bool = True,
+                 patience: int = 7, remat="auto",
                  sequential: Optional[bool] = None, carry_dtype=None):
         if isinstance(model, DomainAdaptationModel):
             seg_bundle = model.segmentation_model
@@ -82,8 +82,12 @@ class UnsupervisedTrainer(SegmentationTrainer):
         self.patience = patience
         # phase 3 holds three grad-bearing activation sets at once; per-
         # block remat (numerically identical, same param tree) lifts the
-        # HBM wall from B=16 to B>=64 at 512px (BASELINE.md)
-        self.remat = remat
+        # HBM wall from B=16 to B>=64 at 512px (BASELINE.md).  Accepts
+        # True / False / "encoder" / "decoder" (models/unet.py): partial
+        # remat saves one half's activations to skip its recompute where
+        # the HBM headroom allows.  "auto" = full remat (True) -- the
+        # measured phase-3 production point at B=128 @ 512px.
+        self.remat = True if remat == "auto" else remat
         # sequential: split the update into per-view backward programs
         # (steps.make_unsupervised_sequential_step) -- identical gradients
         # at one forward+backward's peak HBM, for still-larger batches.
@@ -129,7 +133,7 @@ class UnsupervisedTrainer(SegmentationTrainer):
         if with_supervised not in self._unsup_steps:
             seg_module = self.model.module
             if self.remat and getattr(seg_module, "remat", True) is False:
-                seg_module = seg_module.clone(remat=True)
+                seg_module = seg_module.clone(remat=self.remat)
             # bf16 logits are VALUE-IDENTICAL when the head computes in
             # bf16 (the f32 logits are upcast bf16 numbers) and halve the
             # phase-3 step's dominant buffers: p1/p2 are held across the
