@@ -77,6 +77,12 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     # buffers were the largest allocations in the B=64 OOM dump
     unsup_kw = ({"remat": True, "logits_dtype": jnp.bfloat16}
                 if mode == "unsup" and not smoke else {})
+    if smoke:
+        # smoke runs tiny shapes the dilated-decoder schedule has never
+        # been validated on-chip at (an axon relay outage coincided with
+        # a 64px dilated compile; see BASELINE.md) -- the naive decoder
+        # is the proven tiny-shape path and smoke makes no perf claim
+        unsup_kw["fused_decoder"] = False
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
                          classes=classes, image_size=tile, **unsup_kw)
     if mode == "infer":
@@ -327,8 +333,10 @@ def _run_bench_e2e_body(img_dir, mask_dir, tile, batch, epochs,
     cached = ds.enable_raw_cache()
     loader = DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True,
                         num_workers=2)
+    # smoke = tiny shapes: keep the naive decoder (see run_bench note)
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
-                         classes=classes, image_size=tile)
+                         classes=classes, image_size=tile,
+                         **({"fused_decoder": False} if smoke else {}))
     step = step_lib.make_supervised_train_step(bundle.module, classes)
     state = TrainState.from_bundle(bundle, adam(1e-4))
     key = jax.random.key(0)

@@ -104,9 +104,16 @@ def test_data_parallel_matches_single_device(seg_bundle):
     s8, m8 = step(s8, k8, shard_batch(images, mesh), shard_batch(masks, mesh))
 
     assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
+    # atol: ~1e-3-scale gradient reduction-order noise x lr 0.1.  The
+    # lane-folded BN sums (ops/lane_bn.py) associate differently under
+    # sharding than on one device; their stats are shard-exact to f32
+    # ulp (mean ~5e-9 at this shape), but one ulp through bf16
+    # activations can flip a bf16 rounding and perturb large-sum grads
+    # at ~1e-3.  Semantic sharding bugs (per-shard instead of global
+    # stats) sit at 1e-2+ and still fail.
     for p1, p8 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
-                                   atol=1e-5, rtol=1e-4)
+                                   atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.slow

@@ -26,6 +26,10 @@ from functools import partial
 from typing import Any, Sequence
 
 import flax.linen as nn
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+    LaneBN,
+)
 import jax
 import jax.numpy as jnp
 
@@ -42,7 +46,7 @@ def _conv_bn_relu(x, filters, kernel, dtype, train, name, dilation=1):
     y = nn.Conv(filters, (kernel, kernel), padding="SAME",
                 kernel_dilation=(dilation, dilation), use_bias=False,
                 dtype=dtype, param_dtype=jnp.float32, name=f"{name}_conv")(x)
-    y = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+    y = LaneBN(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                      dtype=dtype, param_dtype=jnp.float32,
                      name=f"{name}_norm")(y)
     return nn.relu(y)
@@ -311,7 +315,7 @@ class PAN(_SegBase):
             att = nn.Conv(ch, (1, 1), use_bias=False, dtype=self.dtype,
                           param_dtype=jnp.float32, name=f"gau{i}_att")(
                 jnp.mean(y, axis=(1, 2), keepdims=True))
-            att = nn.sigmoid(nn.BatchNorm(
+            att = nn.sigmoid(LaneBN(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, param_dtype=jnp.float32,
                 name=f"gau{i}_att_norm")(att))

@@ -19,6 +19,10 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+    LaneBN,
+)
 import jax
 import jax.numpy as jnp
 
@@ -32,7 +36,7 @@ class DomainDiscriminator(nn.Module):
         conv = partial(nn.Conv, kernel_size=(4, 4), strides=(2, 2),
                        padding=((1, 1), (1, 1)),
                        dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
         lrelu = partial(nn.leaky_relu, negative_slope=0.2)

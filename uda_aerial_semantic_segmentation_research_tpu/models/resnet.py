@@ -23,6 +23,10 @@ from functools import partial
 from typing import Any, Callable, Sequence, Tuple
 
 import flax.linen as nn
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+    LaneBN,
+)
 import jax.numpy as jnp
 
 ModuleDef = Any
@@ -114,7 +118,7 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
         block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
@@ -177,7 +181,7 @@ class MobileNetV2Encoder(nn.Module):
     def __call__(self, x, train: bool = False):
         conv = partial(nn.Conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
         block_cls = (nn.remat(InvertedResidual) if self.remat

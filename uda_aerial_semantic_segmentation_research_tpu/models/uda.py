@@ -21,6 +21,10 @@ from functools import partial
 from typing import Any
 
 import flax.linen as nn
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+    LaneBN,
+)
 import jax
 import jax.numpy as jnp
 
@@ -72,7 +76,7 @@ class FeatureDomainDiscriminator(nn.Module):
     def __call__(self, x, train: bool = False, return_logits: bool = True):
         conv = partial(nn.Conv, kernel_size=(3, 3), padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
         y = x.astype(self.dtype)

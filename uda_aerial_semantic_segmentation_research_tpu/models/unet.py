@@ -15,6 +15,10 @@ from functools import partial
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
+
+from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+    LaneBN,
+)
 import jax
 import jax.numpy as jnp
 
@@ -138,7 +142,7 @@ class DecoderBlock(nn.Module):
 
         conv = partial(nn.Conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
         pack = self.packed and self.filters <= 32
@@ -218,9 +222,18 @@ class UnetDecoder(nn.Module):
         block_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
                      if self.remat else DecoderBlock)
         impl = "dilated" if self.fused == "dilated" else "phase"
+        # trace-time tiny-shape gate: the dilated schedule is validated
+        # on-chip at the production tile (block inputs 16-256px); runs
+        # below 128px full-res (tests/smoke) keep the naive path, whose
+        # tiny-shape compiles are proven (an axon relay outage coincided
+        # with a 64px dilated compile and was never exonerated -- see
+        # BASELINE.md r3 ledger)
+        fused_cfg = self.fused
+        if impl == "dilated" and features[0].shape[1] < 128:
+            fused_cfg = False
         for i, (ch, skip) in enumerate(zip(self.decoder_channels, skips)):
-            fused = (i in self.fused if isinstance(self.fused, tuple)
-                     else bool(self.fused))
+            fused = (i in fused_cfg if isinstance(fused_cfg, tuple)
+                     else bool(fused_cfg))
             x = block_cls(ch, dtype=self.dtype, fused=fused,
                           fused_impl=impl,
                           packed=self.packed, pallas_eval=self.pallas_eval,

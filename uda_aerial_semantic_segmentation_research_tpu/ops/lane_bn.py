@@ -1,0 +1,200 @@
+"""BatchNorm with lane-folded statistics reductions.
+
+Drop-in replacement for ``flax.linen.BatchNorm`` (same constructor
+surface as used in this package, same parameter/``batch_stats``
+variable tree, same float32 statistics / fast-variance / output-cast
+numerics) whose per-channel reductions are restructured for the TPU
+vector unit.
+
+Why: the r3 profile (BASELINE.md) shows BatchNorm statistics passes as
+the single largest step-time bucket — 140.6 ms/step at B=128 @ 512px —
+running at only ~310-400 GB/s effective, roughly half of HBM peak.
+The cause is layout: reducing an NHWC activation over (N, H, W) leaves
+the small channel dimension (16-64 in the U-Net decoder) minor, so
+every (8, 128) vector tile of the reduction carries only C of its 128
+lanes.
+
+The fix is to reduce a *flat* view instead: reshape the activation to
+``(T / 128, 128)`` — each 128-lane row holds ``128 / C`` consecutive
+pixels — sum over the major axis at full lane occupancy, then fold the
+``(128,)`` result to ``(C,)`` with one tiny ``(128/C, C)`` sum.  The
+same trick serves the backward pass: the two per-channel sums BN's
+input gradient needs (``sum(dy)`` and ``sum(dy * x)``) are computed by
+one fused full-bandwidth pass over ``dy`` and ``x`` inside a
+``jax.custom_vjp``, and the remaining gradient is a per-channel FMA
+(``dx = a*dy + c*x + d``) that XLA fuses into neighbouring ops.
+
+Numerics match flax exactly in formula (f32 stats, ``var = max(0,
+E[x^2] - E[x]^2)``, f32 normalize, cast to ``dtype``); only the f32
+reduction *order* differs (tested to 1e-5, ``tests/test_lane_bn.py``).
+Shapes whose element count or channel count does not fold onto the
+128-lane layout fall back to the flax formula under plain autodiff.
+
+Running statistics are updated exactly like flax BatchNorm
+(``momentum * ra + (1 - momentum) * batch``); gradients do not flow
+into the running-stat outputs (they are consumed only by the mutable
+``batch_stats`` collection, which train steps treat as aux).
+
+Reference parity: replaces torch ``nn.BatchNorm2d`` layers used across
+the reference models (e.g. reference ``src/models/train.py`` via
+``smp.Unet``); behavioural contract unchanged.
+"""
+
+import os
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LANES = 128
+
+
+def _foldable(x, c: int) -> bool:
+    """True if per-channel sums over ``x`` can use the flat 128-lane view."""
+    return (c <= x.size
+            and (LANES % c == 0 or c % LANES == 0)
+            and x.size % max(LANES, c) == 0)
+
+
+def _fold_sums(arrs, c: int):
+    """Per-channel sums of each (..., C) array via the flat 128-lane view.
+
+    Multiple arrays are reduced in one traversal (XLA sibling-fuses
+    reductions sharing their input pass).  Inputs are upcast to f32
+    inside the reduction (the convert fuses; no f32 materialization).
+    """
+    lanes = max(LANES, c)
+    outs = []
+    for a in arrs:
+        flat = a.astype(jnp.float32).reshape(-1, lanes)
+        s = flat.sum(axis=0)
+        if lanes != c:
+            s = s.reshape(lanes // c, c).sum(axis=0)
+        outs.append(s)
+    return outs
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _bn_train(eps: float, x, scale, bias):
+    """Train-mode BN: returns ``(y, mean, var)`` with lane-folded stats.
+
+    The ``mean``/``var`` outputs exist for the running-statistics
+    update only and are non-differentiable by contract (their
+    cotangents are ignored in the backward rule).
+    """
+    y, mean, var, _ = _bn_train_impl(eps, x, scale, bias)
+    return y, mean, var
+
+
+def _bn_train_impl(eps, x, scale, bias):
+    c = x.shape[-1]
+    n = x.size // c
+    s, q = _fold_sums((x, jax.lax.square(x.astype(jnp.float32))), c)
+    mean = s / n
+    var = jnp.maximum(0.0, q / n - jax.lax.square(mean))
+    inv = jax.lax.rsqrt(var + eps)
+    mul = inv * scale
+    y = ((x.astype(jnp.float32) - mean) * mul + bias).astype(x.dtype)
+    return y, mean, var, inv
+
+
+def _bn_train_fwd(eps, x, scale, bias):
+    y, mean, var, inv = _bn_train_impl(eps, x, scale, bias)
+    return (y, mean, var), (x, mean, inv, scale)
+
+
+def _bn_train_bwd(eps, res, cts):
+    dy, _dmean, _dvar = cts          # running-stat cotangents: see _bn_train
+    x, mean, inv, scale = res
+    c = x.shape[-1]
+    n = x.size // c
+    sd, sdx = _fold_sums((dy, dy.astype(jnp.float32) * x.astype(jnp.float32)),
+                         c)
+    # dscale = sum(dy * xhat), dbias = sum(dy)
+    dscale = (sdx - mean * sd) * inv
+    dbias = sd
+    # dx = a*dy + cx*x + d  (per-channel FMA; classic BN input gradient
+    # with the two sums substituted analytically)
+    a = inv * scale
+    cx = -a * jax.lax.square(inv) * (sdx - mean * sd) / n
+    d = cx * (-mean) - a * sd / n
+    dx = (a * dy.astype(jnp.float32) + cx * x.astype(jnp.float32)
+          + d).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_bn_train.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class BatchNorm(nn.Module):
+    """``nn.BatchNorm`` drop-in with lane-folded statistics (see module
+    docstring).  Constructor surface matches the subset of BatchNorm
+    used across this package; parameter and ``batch_stats`` trees are
+    identical, so checkpoints interchange freely.  The class is NAMED
+    ``BatchNorm`` so flax auto-naming of unnamed instances yields the
+    same ``BatchNorm_N`` module paths as the flax original (checkpoint
+    and pretrained-converter key parity).  ``LaneBN`` is an alias.
+
+    ``lane='auto'`` uses the folded path whenever the activation shape
+    permits (any backend — the math is layout-independent); ``False``
+    forces the flax-formula fallback (plain autodiff).
+    """
+
+    use_running_average: Optional[bool] = None
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+    scale_init: Any = nn.initializers.ones
+    bias_init: Any = nn.initializers.zeros
+    lane: Any = "auto"
+
+    @nn.compact
+    def __call__(self, x, use_running_average: Optional[bool] = None):
+        use_ra = nn.merge_param("use_running_average",
+                                self.use_running_average,
+                                use_running_average)
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,),
+                           self.param_dtype).astype(jnp.float32)
+        bias = self.param("bias", self.bias_init, (c,),
+                          self.param_dtype).astype(jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        out_dtype = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+
+        if use_ra:
+            mul = jax.lax.rsqrt(ra_var.value + self.epsilon) * scale
+            y = (x.astype(jnp.float32) - ra_mean.value) * mul + bias
+            return y.astype(out_dtype)
+
+        # UDA_TPU_LANE_BN=0 forces the flax-formula fallback everywhere
+        # (trace-time read; A/B instrumentation for the perf ledger)
+        lane = self.lane and os.environ.get("UDA_TPU_LANE_BN", "1") != "0"
+        if lane and _foldable(x, c):
+            y, mean, var = _bn_train(self.epsilon, x.astype(out_dtype),
+                                     scale, bias)
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = x32.mean(axes)
+            var = jnp.maximum(0.0, jax.lax.square(x32).mean(axes)
+                              - jax.lax.square(mean))
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = ((x32 - mean) * mul + bias).astype(out_dtype)
+
+        if not self.is_initializing() \
+                and self.is_mutable_collection("batch_stats"):
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value \
+                + (1.0 - m) * jax.lax.stop_gradient(mean)
+            ra_var.value = m * ra_var.value \
+                + (1.0 - m) * jax.lax.stop_gradient(var)
+        return y
+
+
+LaneBN = BatchNorm
