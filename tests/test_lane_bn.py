@@ -118,3 +118,26 @@ def test_grad_through_loss_scalar():
     gl = jax.grad(lambda v, x: loss(lane, v, x), argnums=(0, 1))(v, x)
     for a, b in zip(jax.tree_util.tree_leaves(gr), jax.tree_util.tree_leaves(gl)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_lane_path_under_remat():
+    """phase 3 wraps decoder blocks in nn.remat: the custom_vjp lane
+    path must produce identical gradients when rematerialized."""
+    c = 16
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 8, c), jnp.float32)
+    scale = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+    bias = jnp.asarray(rng.randn(c), jnp.float32)
+    from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
+        _bn_train,
+    )
+    assert _foldable(x, c)
+
+    def f(x, s, b):
+        y, _, _ = _bn_train(1e-5, x, s, b)
+        return jnp.sum(y * jnp.cos(y))
+
+    g_plain = jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
+    g_remat = jax.grad(jax.checkpoint(f), argnums=(0, 1, 2))(x, scale, bias)
+    for a, b in zip(g_plain, g_remat):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
