@@ -395,6 +395,36 @@ def _run_bench_e2e_body(img_dir, mask_dir, tile, batch, epochs,
     return out
 
 
+def _arm_device_init_watchdog(seconds: float = 240.0):
+    """Fail loud, fast, and parseable if the TPU runtime never answers.
+
+    On this box the remote axon runtime has been observed to WEDGE such
+    that ``jax.devices()`` blocks forever (BASELINE.md r3 ledger); a
+    hung bench leaves no artifact at all.  The watchdog prints an
+    honest zero-value JSON line naming the failure, then hard-exits.
+    Disarmed as soon as device init returns; compile time (~70-150 s at
+    bench shape) is NOT under the timer.
+    """
+    import os
+    import threading
+
+    def _fire():
+        print(json.dumps({
+            "metric": "train_tiles_per_sec_per_chip", "value": 0.0,
+            "unit": "tiles/s", "vs_baseline": 0.0,
+            "error": f"TPU runtime unavailable: jax.devices() did not "
+                     f"return within {seconds:.0f}s",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, _fire)
+    t.daemon = True
+    t.start()
+    import jax
+    jax.devices()
+    t.cancel()
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, quick run")
@@ -403,6 +433,7 @@ if __name__ == "__main__":
     p.add_argument("--mode", choices=("train", "infer", "adv", "unsup", "e2e"),
                    default="train")
     a = p.parse_args()
+    _arm_device_init_watchdog()
     if a.mode == "e2e":
         run_bench_e2e(tile=a.tile, smoke=a.smoke)
     else:
