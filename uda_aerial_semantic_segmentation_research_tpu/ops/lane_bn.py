@@ -76,6 +76,45 @@ def _fold_sums(arrs, c: int):
     return outs
 
 
+def _fold(s, c: int):
+    """(lanes,) per-lane sums -> (c,) per-channel sums."""
+    return s if s.shape[0] == c else s.reshape(s.shape[0] // c, c).sum(axis=0)
+
+
+def _pallas_ok(x, c: int) -> bool:
+    from uda_aerial_semantic_segmentation_research_tpu.ops import (
+        pallas_moments as pm,
+    )
+    lanes = max(LANES, c)
+    m = x.size // lanes
+    # compiled Mosaic only (interpret mode would silently serialize)
+    return (jax.default_backend() == "tpu"
+            and lanes == LANES and m % pm.BLOCK_M == 0)
+
+
+def _stat_sums(x, c: int):
+    """(sum, sumsq) per channel: XLA reshape path or plan-B Pallas kernel
+    (``UDA_TPU_LANE_BN=pallas``; see ops/pallas_moments.py)."""
+    if os.environ.get("UDA_TPU_LANE_BN") == "pallas" and _pallas_ok(x, c):
+        from uda_aerial_semantic_segmentation_research_tpu.ops import (
+            pallas_moments as pm,
+        )
+        s, q = pm.lane_sums(x.reshape(-1, LANES))
+        return _fold(s, c), _fold(q, c)
+    return _fold_sums((x, jax.lax.square(x.astype(jnp.float32))), c)
+
+
+def _grad_sums(dy, x, c: int):
+    """(sum dy, sum dy*x) per channel, same dispatch as ``_stat_sums``."""
+    if os.environ.get("UDA_TPU_LANE_BN") == "pallas" and _pallas_ok(x, c):
+        from uda_aerial_semantic_segmentation_research_tpu.ops import (
+            pallas_moments as pm,
+        )
+        s, p = pm.lane_dual_sums(dy.reshape(-1, LANES), x.reshape(-1, LANES))
+        return _fold(s, c), _fold(p, c)
+    return _fold_sums((dy, dy.astype(jnp.float32) * x.astype(jnp.float32)), c)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _bn_train(eps: float, x, scale, bias):
     """Train-mode BN: returns ``(y, mean, var)`` with lane-folded stats.
@@ -91,7 +130,7 @@ def _bn_train(eps: float, x, scale, bias):
 def _bn_train_impl(eps, x, scale, bias):
     c = x.shape[-1]
     n = x.size // c
-    s, q = _fold_sums((x, jax.lax.square(x.astype(jnp.float32))), c)
+    s, q = _stat_sums(x, c)
     mean = s / n
     var = jnp.maximum(0.0, q / n - jax.lax.square(mean))
     inv = jax.lax.rsqrt(var + eps)
@@ -110,8 +149,7 @@ def _bn_train_bwd(eps, res, cts):
     x, mean, inv, scale = res
     c = x.shape[-1]
     n = x.size // c
-    sd, sdx = _fold_sums((dy, dy.astype(jnp.float32) * x.astype(jnp.float32)),
-                         c)
+    sd, sdx = _grad_sums(dy, x, c)
     # dscale = sum(dy * xhat), dbias = sum(dy)
     dscale = (sdx - mean * sd) * inv
     dbias = sd
