@@ -77,12 +77,9 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
     # buffers were the largest allocations in the B=64 OOM dump
     unsup_kw = ({"remat": True, "logits_dtype": jnp.bfloat16}
                 if mode == "unsup" and not smoke else {})
-    if smoke:
-        # smoke runs tiny shapes the dilated-decoder schedule has never
-        # been validated on-chip at (an axon relay outage coincided with
-        # a 64px dilated compile; see BASELINE.md) -- the naive decoder
-        # is the proven tiny-shape path and smoke makes no perf claim
-        unsup_kw["fused_decoder"] = False
+    # (smoke's 64px traces stay on the naive decoder automatically: the
+    # UnetDecoder trace-time gate keeps the dilated schedule off <128px
+    # programs -- see models/unet.py)
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
                          classes=classes, image_size=tile, **unsup_kw)
     if mode == "infer":
@@ -333,10 +330,8 @@ def _run_bench_e2e_body(img_dir, mask_dir, tile, batch, epochs,
     cached = ds.enable_raw_cache()
     loader = DataLoader(ds, batch_size=batch, shuffle=True, drop_last=True,
                         num_workers=2)
-    # smoke = tiny shapes: keep the naive decoder (see run_bench note)
     bundle = create_unet(encoder_name=encoder, encoder_weights=None,
-                         classes=classes, image_size=tile,
-                         **({"fused_decoder": False} if smoke else {}))
+                         classes=classes, image_size=tile)
     step = step_lib.make_supervised_train_step(bundle.module, classes)
     state = TrainState.from_bundle(bundle, adam(1e-4))
     key = jax.random.key(0)
@@ -395,7 +390,7 @@ def _run_bench_e2e_body(img_dir, mask_dir, tile, batch, epochs,
     return out
 
 
-def _arm_device_init_watchdog(seconds: float = 240.0):
+def _arm_device_init_watchdog(metric: str, seconds: float = 240.0):
     """Fail loud, fast, and parseable if the TPU runtime never answers.
 
     On this box the remote axon runtime has been observed to WEDGE such
@@ -410,7 +405,7 @@ def _arm_device_init_watchdog(seconds: float = 240.0):
 
     def _fire():
         print(json.dumps({
-            "metric": "train_tiles_per_sec_per_chip", "value": 0.0,
+            "metric": metric, "value": 0.0,
             "unit": "tiles/s", "vs_baseline": 0.0,
             "error": f"TPU runtime unavailable: jax.devices() did not "
                      f"return within {seconds:.0f}s",
@@ -433,7 +428,9 @@ if __name__ == "__main__":
     p.add_argument("--mode", choices=("train", "infer", "adv", "unsup", "e2e"),
                    default="train")
     a = p.parse_args()
-    _arm_device_init_watchdog()
+    _arm_device_init_watchdog(
+        "train_tiles_per_sec_e2e" if a.mode == "e2e"
+        else f"{a.mode}_tiles_per_sec_per_chip")
     if a.mode == "e2e":
         run_bench_e2e(tile=a.tile, smoke=a.smoke)
     else:

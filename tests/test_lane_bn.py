@@ -134,10 +134,41 @@ def test_lane_path_under_remat():
     assert _foldable(x, c)
 
     def f(x, s, b):
-        y, _, _ = _bn_train(1e-5, x, s, b)
+        y, _, _ = _bn_train(1e-5, jnp.float32, x, s, b)
         return jnp.sum(y * jnp.cos(y))
 
     g_plain = jax.grad(f, argnums=(0, 1, 2))(x, scale, bias)
     g_remat = jax.grad(jax.checkpoint(f), argnums=(0, 1, 2))(x, scale, bias)
     for a, b in zip(g_plain, g_remat):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_f32_input_bf16_norm_stats_match_flax():
+    """Review regression: stats must come from the RAW input upcast to
+    f32 (flax contract), not from the input quantized to the module
+    dtype, even on the foldable lane path."""
+    c = 16
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, c) * 2 + 0.5, jnp.float32)
+    v = {"params": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+         "batch_stats": {"mean": jnp.zeros(c), "var": jnp.ones(c)}}
+    ref = nn.BatchNorm(use_running_average=False, **KW)
+    lane = LaneBN(use_running_average=False, **KW)
+    _, bs_r = ref.apply(v, x, mutable=["batch_stats"])
+    _, bs_l = lane.apply(v, x, mutable=["batch_stats"])
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(bs_l["batch_stats"][k],
+                                   bs_r["batch_stats"][k],
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_missing_mutable_fails_loud():
+    """Review regression: like flax, a train-mode apply without
+    mutable=['batch_stats'] must raise, not silently freeze stats."""
+    c = 16
+    x = jnp.zeros((2, 4, 4, c), jnp.bfloat16)
+    v = {"params": {"scale": jnp.ones(c), "bias": jnp.zeros(c)},
+         "batch_stats": {"mean": jnp.zeros(c), "var": jnp.ones(c)}}
+    import flax.errors
+    with pytest.raises(flax.errors.ModifyScopeVariableError):
+        LaneBN(use_running_average=False, **KW).apply(v, x)

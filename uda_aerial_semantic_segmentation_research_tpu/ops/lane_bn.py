@@ -87,8 +87,11 @@ def _pallas_ok(x, c: int) -> bool:
     )
     lanes = max(LANES, c)
     m = x.size // lanes
-    # compiled Mosaic only (interpret mode would silently serialize)
-    return (jax.default_backend() == "tpu"
+    # compiled Mosaic only (interpret mode would silently serialize);
+    # single chip only -- pallas_call is not SPMD-partitionable, so on
+    # a mesh it would force an all-gather of the sharded activation
+    # (the XLA reshape path partitions cleanly and stays default there)
+    return (jax.default_backend() == "tpu" and jax.device_count() == 1
             and lanes == LANES and m % pm.BLOCK_M == 0)
 
 
@@ -115,19 +118,21 @@ def _grad_sums(dy, x, c: int):
     return _fold_sums((dy, dy.astype(jnp.float32) * x.astype(jnp.float32)), c)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _bn_train(eps: float, x, scale, bias):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _bn_train(eps: float, out_dtype, x, scale, bias):
     """Train-mode BN: returns ``(y, mean, var)`` with lane-folded stats.
 
+    Statistics are computed from the RAW input upcast to f32 (flax
+    contract); only the normalized output is cast to ``out_dtype``.
     The ``mean``/``var`` outputs exist for the running-statistics
     update only and are non-differentiable by contract (their
     cotangents are ignored in the backward rule).
     """
-    y, mean, var, _ = _bn_train_impl(eps, x, scale, bias)
+    y, mean, var, _ = _bn_train_impl(eps, out_dtype, x, scale, bias)
     return y, mean, var
 
 
-def _bn_train_impl(eps, x, scale, bias):
+def _bn_train_impl(eps, out_dtype, x, scale, bias):
     c = x.shape[-1]
     n = x.size // c
     s, q = _stat_sums(x, c)
@@ -135,16 +140,16 @@ def _bn_train_impl(eps, x, scale, bias):
     var = jnp.maximum(0.0, q / n - jax.lax.square(mean))
     inv = jax.lax.rsqrt(var + eps)
     mul = inv * scale
-    y = ((x.astype(jnp.float32) - mean) * mul + bias).astype(x.dtype)
+    y = ((x.astype(jnp.float32) - mean) * mul + bias).astype(out_dtype)
     return y, mean, var, inv
 
 
-def _bn_train_fwd(eps, x, scale, bias):
-    y, mean, var, inv = _bn_train_impl(eps, x, scale, bias)
+def _bn_train_fwd(eps, out_dtype, x, scale, bias):
+    y, mean, var, inv = _bn_train_impl(eps, out_dtype, x, scale, bias)
     return (y, mean, var), (x, mean, inv, scale)
 
 
-def _bn_train_bwd(eps, res, cts):
+def _bn_train_bwd(eps, out_dtype, res, cts):
     dy, _dmean, _dvar = cts          # running-stat cotangents: see _bn_train
     x, mean, inv, scale = res
     c = x.shape[-1]
@@ -214,8 +219,7 @@ class BatchNorm(nn.Module):
         # (trace-time read; A/B instrumentation for the perf ledger)
         lane = self.lane and os.environ.get("UDA_TPU_LANE_BN", "1") != "0"
         if lane and _foldable(x, c):
-            y, mean, var = _bn_train(self.epsilon, x.astype(out_dtype),
-                                     scale, bias)
+            y, mean, var = _bn_train(self.epsilon, out_dtype, x, scale, bias)
         else:
             x32 = x.astype(jnp.float32)
             axes = tuple(range(x.ndim - 1))
@@ -225,8 +229,11 @@ class BatchNorm(nn.Module):
             mul = jax.lax.rsqrt(var + self.epsilon) * scale
             y = ((x32 - mean) * mul + bias).astype(out_dtype)
 
-        if not self.is_initializing() \
-                and self.is_mutable_collection("batch_stats"):
+        # flax contract: write unconditionally outside init, so a train
+        # step that forgot mutable=['batch_stats'] fails LOUD (flax
+        # raises ModifyScopeVariableError) instead of silently training
+        # with frozen running statistics
+        if not self.is_initializing():
             m = self.momentum
             ra_mean.value = m * ra_mean.value \
                 + (1.0 - m) * jax.lax.stop_gradient(mean)

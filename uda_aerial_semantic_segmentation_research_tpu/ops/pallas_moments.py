@@ -59,7 +59,15 @@ def _dual_kernel(dy_ref, x_ref, s_ref, p_ref):
 
 
 def _grid_for(m: int):
-    bm = BLOCK_M if m % BLOCK_M == 0 else m
+    """(grid, block_rows) with block_rows bounded by BLOCK_M.
+
+    Picks the largest power-of-two divisor of ``m`` up to BLOCK_M so a
+    non-aligned row count can never stage the whole array into VMEM
+    (BLOCK_M x 128 x 4 B = 256 KB is the hard per-block ceiling).
+    """
+    bm = BLOCK_M
+    while m % bm:
+        bm //= 2
     return (m // bm,), bm
 
 

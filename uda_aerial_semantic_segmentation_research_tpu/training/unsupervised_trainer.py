@@ -132,7 +132,11 @@ class UnsupervisedTrainer(SegmentationTrainer):
     def _get_unsup_step(self, with_supervised: bool):
         if with_supervised not in self._unsup_steps:
             seg_module = self.model.module
-            if self.remat and getattr(seg_module, "remat", True) is False:
+            # apply the trainer's remat setting whenever it differs from
+            # the module's (True / False / "encoder" / "decoder"): the
+            # param tree is remat-invariant, so the clone is free
+            if (hasattr(seg_module, "remat")
+                    and seg_module.remat != self.remat):
                 seg_module = seg_module.clone(remat=self.remat)
             # bf16 logits are VALUE-IDENTICAL when the head computes in
             # bf16 (the f32 logits are upcast bf16 numbers) and halve the
