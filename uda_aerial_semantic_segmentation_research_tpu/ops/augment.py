@@ -1080,34 +1080,66 @@ def augment_batch(key, images, masks=None, *, cfg: AugmentConfig = WEAK,
     pallas_dihedral = cfg.pallas_dihedral
     if pallas_dihedral == "auto":
         # resolved at trace time; the kernel wins in-step on TPU
-        # (405.6 vs 415.6 ms at B=128 @ 512px) and runs interpreted
-        # (slowly) everywhere else.  Single chip only: under the
-        # jit+SPMD mesh path a pallas_call has no batch-partitioning
-        # rule, so multi-device programs keep the XLA dihedral until
-        # that is validated on real multi-chip hardware.
+        # (405.6 vs 415.6 ms at B=128 @ 512px).  Single chip only:
+        # under the jit+SPMD mesh path a pallas_call has no
+        # batch-partitioning rule, so multi-device programs keep the
+        # XLA dihedral until that is validated on real multi-chip
+        # hardware.
         pallas_dihedral = ("fast" if jax.default_backend() == "tpu"
                            and jax.device_count() == 1 else "")
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+    def _xla_dihedral(images, m, abc):
+        x = images.astype(jnp.float32)
+        x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
+        x = x.astype(compute_dtype)
+        return _apply_dihedral(x, m, *abc)
+
     if (pallas_dihedral and has_dihedral
             and jnp.issubdtype(images.dtype, jnp.integer)):
-        # fused Pallas dequant+dihedral on the raw uint8 batch
+        # fused Pallas dequant+dihedral on the raw uint8 batch.  The
+        # kernel is selected PER LOWERING PLATFORM, not per process
+        # global: ``jax.default_backend()`` can disagree with the
+        # devices a program is actually jitted for (e.g. the remote-TPU
+        # axon box reports a 1-chip "tpu" default while the multichip
+        # dryrun lowers for a forced-CPU mesh — backend caching means
+        # even ``jax.config.update('jax_platforms', 'cpu')`` after
+        # first device contact cannot flip the global).  Compiled
+        # Mosaic exists only on TPU, so every other platform takes the
+        # numerically-pinned XLA dihedral (tests/test_pallas.py pins
+        # kernel==XLA; direct kernel tests off-TPU use interpret=True).
         from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_ops import (
             dihedral_normalize,
             flags_from_abc,
         )
 
-        a, b, c = _sample_dihedral(k_dih, n, cfg)
+        abc = _sample_dihedral(k_dih, n, cfg)
         prec = (jax.lax.Precision.HIGHEST if pallas_dihedral == "exact"
                 else jax.lax.Precision.DEFAULT)
-        x, m = dihedral_normalize(images, flags_from_abc(a, b, c), m,
-                                  normalize=False, precision=prec)
-        x = x.astype(jnp.dtype(cfg.compute_dtype))
+
+        def _pallas_dihedral(images, abc, *ms):
+            x, m2 = dihedral_normalize(images, flags_from_abc(*abc),
+                                       *ms, normalize=False, precision=prec)
+            x = x.astype(compute_dtype)
+            return (x, m2) if ms else x
+
+        def _xla_branch(images, abc, *ms):
+            x, m2 = _xla_dihedral(images, ms[0] if ms else None, abc)
+            return (x, m2) if ms else x
+
+        ms = () if m is None else (m,)
+        out = jax.lax.platform_dependent(images, abc, *ms,
+                                         tpu=_pallas_dihedral,
+                                         default=_xla_branch)
+        x, m = out if m is not None else (out, None)
     else:
-        x = images.astype(jnp.float32)
-        x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
-        x = x.astype(jnp.dtype(cfg.compute_dtype))
         if has_dihedral:
-            a, b, c = _sample_dihedral(k_dih, n, cfg)
-            x, m = _apply_dihedral(x, m, a, b, c)
+            abc = _sample_dihedral(k_dih, n, cfg)
+            x, m = _xla_dihedral(images, m, abc)
+        else:
+            x = images.astype(jnp.float32)
+            x = x / 255.0 if jnp.issubdtype(images.dtype, jnp.integer) else x
+            x = x.astype(compute_dtype)
     if cfg.p_ssr > 0 or cfg.p_distort > 0:
         x, m = _warp_stage(k_ssr, x, m, cfg)
     x = _photometric_batch(k_photo, x, cfg)

@@ -6,23 +6,33 @@ variable tree, same float32 statistics / fast-variance / output-cast
 numerics) whose per-channel reductions are restructured for the TPU
 vector unit.
 
-Why: the r3 profile (BASELINE.md) shows BatchNorm statistics passes as
-the single largest step-time bucket — 140.6 ms/step at B=128 @ 512px —
-running at only ~310-400 GB/s effective, roughly half of HBM peak.
-The cause is layout: reducing an NHWC activation over (N, H, W) leaves
-the small channel dimension (16-64 in the U-Net decoder) minor, so
-every (8, 128) vector tile of the reduction carries only C of its 128
-lanes.
+Why it was built: the r3 profile (BASELINE.md) showed BatchNorm
+statistics passes as the single largest step-time bucket — 140.6
+ms/step at B=128 @ 512px — at only ~310-400 GB/s effective, and the
+working theory was lane underuse (C=16-64 minor in an (8, 128) vector
+tile).  The folded path reduces a *flat* ``(T / 128, 128)`` view at
+full lane occupancy, then folds the ``(128,)`` result to ``(C,)``;
+a ``jax.custom_vjp`` applies the same trick to the two backward sums
+(``sum(dy)``, ``sum(dy * x)``) and leaves the input gradient as a
+per-channel FMA (``dx = a*dy + c*x + d``) that XLA fuses onward.
 
-The fix is to reduce a *flat* view instead: reshape the activation to
-``(T / 128, 128)`` — each 128-lane row holds ``128 / C`` consecutive
-pixels — sum over the major axis at full lane occupancy, then fold the
-``(128,)`` result to ``(C,)`` with one tiny ``(128/C, C)`` sum.  The
-same trick serves the backward pass: the two per-channel sums BN's
-input gradient needs (``sum(dy)`` and ``sum(dy * x)``) are computed by
-one fused full-bandwidth pass over ``dy`` and ``x`` inside a
-``jax.custom_vjp``, and the remaining gradient is a per-channel FMA
-(``dx = a*dy + c*x + d``) that XLA fuses into neighbouring ops.
+MEASURED ON-CHIP VERDICT (r3 session 4, v5e): the premise was wrong,
+and the folded path is OFF on TPU.  XLA:TPU does not put channels in
+the vector lanes for these activations — the compiled layout for
+``bf16[128,512,512,16]`` intermediates is ``{0,3,2,1:T(8,128)(2,1)}``:
+the BATCH dimension is minor and fills the 128 lanes, C rides the
+sublanes, so the stock reduction is already layout-clean.  The flat
+128-lane view fights that layout: XLA materializes an f32 copy of the
+activation in the C-minor ``{3,2,1,0:T(8,128)}`` layout (8x lane
+padding -> 16 GB for ONE decoder activation) before every reshape, and
+the full step compile-OOMs at B=128 (26.01 G needed vs 15.75 G; control
+with ``UDA_TPU_LANE_BN=0`` compiles and runs at 343.9 ms).  The same
+copy sinks the plan-B Pallas kernels (they read the same flat view).
+``lane='auto'`` therefore folds only on backends whose default layout
+is row-major C-minor (CPU — where the numerics tests exercise the
+path); TPU uses the flax-formula fallback, which XLA compiles to a
+single fused convert+reduce pass with zero HLO temp at this shape.
+``UDA_TPU_LANE_BN=force`` re-enables folding anywhere for measurement.
 
 Numerics match flax exactly in formula (f32 stats, ``var = max(0,
 E[x^2] - E[x]^2)``, f32 normalize, cast to ``dtype``); only the f32
@@ -181,8 +191,10 @@ class BatchNorm(nn.Module):
     and pretrained-converter key parity).  ``LaneBN`` is an alias.
 
     ``lane='auto'`` uses the folded path whenever the activation shape
-    permits (any backend — the math is layout-independent); ``False``
-    forces the flax-formula fallback (plain autodiff).
+    permits on backends with row-major C-minor layouts (CPU); on TPU it
+    resolves to the flax-formula fallback — see the module docstring's
+    measured on-chip verdict.  ``False`` forces the fallback (plain
+    autodiff) everywhere; ``UDA_TPU_LANE_BN=force`` the folded path.
     """
 
     use_running_average: Optional[bool] = None
@@ -215,9 +227,16 @@ class BatchNorm(nn.Module):
             y = (x.astype(jnp.float32) - ra_mean.value) * mul + bias
             return y.astype(out_dtype)
 
-        # UDA_TPU_LANE_BN=0 forces the flax-formula fallback everywhere
-        # (trace-time read; A/B instrumentation for the perf ledger)
-        lane = self.lane and os.environ.get("UDA_TPU_LANE_BN", "1") != "0"
+        # Trace-time dispatch (see module docstring's measured verdict):
+        #   auto  -> folded off TPU, flax-formula fallback on TPU (XLA:TPU
+        #            lays batch into the lanes; the flat view forces an
+        #            8x-padded f32 copy per activation and compile-OOMs)
+        #   UDA_TPU_LANE_BN=0      -> fallback everywhere (A/B control)
+        #   UDA_TPU_LANE_BN=force  -> folded everywhere (measurement)
+        #   UDA_TPU_LANE_BN=pallas -> plan-B kernels where legal (_pallas_ok)
+        env = os.environ.get("UDA_TPU_LANE_BN", "auto")
+        lane = bool(self.lane) and env != "0" and (
+            env in ("force", "pallas") or jax.default_backend() != "tpu")
         if lane and _foldable(x, c):
             y, mean, var = _bn_train(self.epsilon, out_dtype, x, scale, bias)
         else:
