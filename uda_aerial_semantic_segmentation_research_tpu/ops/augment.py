@@ -468,46 +468,52 @@ def _distort_warp_grouped(key, x, m, do, cfg: AugmentConfig):
     return _grid_sample_grouped(x, m, xx[None] + dx, yy[None] + dy, do)
 
 
-def _warp_stage(key, x, m, cfg: AugmentConfig):
-    """SSR + distortion warps, run on a compacted any-warp image subset.
-
-    Per-pixel warp gathers are the most expensive pass in the pipeline;
-    at reference probabilities only ~1-(1-p_ssr)(1-p_distort) of images
-    take ANY warp.  Whole-image gather of a mean+3sigma subset, both
-    warps applied sequentially on the subset (same semantics as the
-    reference's independent SSR / distortion-OneOf draws), scatter
-    back.  Over-budget images (P ~ 1e-3) skip their warp; documented in
-    PARITY.md.
-    """
+def _warp_family(k_prio, x, m, do, warp_fn, budget: int):
+    """One warp family on its own compacted subset: gather at most
+    ``budget`` of the ``do`` images (whole-image rows, cheap), warp the
+    subset, scatter back.  Over-budget images (P ~ 1e-3 at the 3-sigma
+    budget) skip their warp; documented in PARITY.md."""
     n = x.shape[0]
-    k_ssr, k_dis, k_g1, k_g2, k_prio = jax.random.split(key, 5)
-    do_ssr = (jax.random.uniform(k_g1, (n,)) < cfg.p_ssr) \
-        if cfg.p_ssr > 0 else jnp.zeros((n,), bool)
-    do_dis = (jax.random.uniform(k_g2, (n,)) < cfg.p_distort) \
-        if cfg.p_distort > 0 else jnp.zeros((n,), bool)
-    p_any = 1.0 - (1.0 - cfg.p_ssr) * (1.0 - cfg.p_distort)
-    budget = _subset_budget(n, p_any)
-
     if budget >= n:
-        if cfg.p_ssr > 0:
-            x, m = _ssr_warp_grouped(k_ssr, x, m, do_ssr, cfg)
-        if cfg.p_distort > 0:
-            x, m = _distort_warp_grouped(k_dis, x, m, do_dis, cfg)
-        return x, m
-
-    want = do_ssr | do_dis
-    idx = _compact_select(k_prio, want, budget)
+        return warp_fn(x, m, do)
+    idx = _compact_select(k_prio, do, budget)
     xs = jnp.take(x, idx, axis=0)
     ms = jnp.take(m, idx, axis=0) if m is not None else None
-    if cfg.p_ssr > 0:
-        xs, ms = _ssr_warp_grouped(k_ssr, xs, ms,
-                                   jnp.take(do_ssr, idx), cfg)
-    if cfg.p_distort > 0:
-        xs, ms = _distort_warp_grouped(k_dis, xs, ms,
-                                       jnp.take(do_dis, idx), cfg)
+    xs, ms = warp_fn(xs, ms, jnp.take(do, idx))
     x = x.at[idx].set(xs)
     if m is not None:
         m = m.at[idx].set(ms)
+    return x, m
+
+
+def _warp_stage(key, x, m, cfg: AugmentConfig):
+    """SSR + distortion warps, each on its own compacted image subset.
+
+    Per-pixel warp gathers are the most expensive pass in the pipeline;
+    at reference probabilities only p_ssr (resp. p_distort) of images
+    take each warp.  Compacting PER FAMILY -- rather than one shared
+    any-warp subset through both passes -- cuts the gathered image count
+    from 2*budget(1-(1-p_ssr)(1-p_distort)) to budget(p_ssr) +
+    budget(p_distort): at WEAK p=0.2/0.2, B=128 that is 80 vs 124
+    image-gathers (-35% warp volume; measured 342.8 -> see BASELINE.md
+    r3 ledger).  Same per-image semantics as the reference's
+    independent SSR / distortion-OneOf draws
+    (src/models/augmentation.py:25-31).
+    """
+    n = x.shape[0]
+    k_ssr, k_dis, k_g1, k_g2, k_p1, k_p2 = jax.random.split(key, 6)
+    if cfg.p_ssr > 0:
+        do_ssr = jax.random.uniform(k_g1, (n,)) < cfg.p_ssr
+        x, m = _warp_family(
+            k_p1, x, m, do_ssr,
+            lambda xs, ms, d: _ssr_warp_grouped(k_ssr, xs, ms, d, cfg),
+            _subset_budget(n, cfg.p_ssr))
+    if cfg.p_distort > 0:
+        do_dis = jax.random.uniform(k_g2, (n,)) < cfg.p_distort
+        x, m = _warp_family(
+            k_p2, x, m, do_dis,
+            lambda xs, ms, d: _distort_warp_grouped(k_dis, xs, ms, d, cfg),
+            _subset_budget(n, cfg.p_distort))
     return x, m
 
 
@@ -899,17 +905,27 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
     # every consumer below gets its OWN key: re-splitting an already
     # consumed key reads the same threefry counter positions and couples
     # draws that must be independent
-    k = jax.random.split(key, 20)
+    k = jax.random.split(key, 22)
     u = lambda kk: jax.random.uniform(kk, (n,))
     gate = lambda d: d[:, None, None, None]
     par = lambda a: a.astype(dt)[:, None, None, None]
 
     if cfg.p_noise > 0:
+        # noise generation (threefry over the full batch is ~3/4 of this
+        # op's cost) and the add ride the compacted noise subset; std is
+        # drawn per subset SLOT -- exchangeable iid, same distribution
         do = u(k[0]) < cfg.p_noise
-        std = jax.random.uniform(k[1], (n,), minval=cfg.noise_std[0],
-                                 maxval=cfg.noise_std[1])
-        noise = jax.random.normal(k[2], x.shape, dtype=dt) * par(std)
-        x = jnp.where(gate(do), jnp.clip(x + noise, 0.0, 1.0).astype(dt), x)
+
+        def noise_fn(sub):
+            std = jax.random.uniform(k[1], (sub.shape[0],),
+                                     minval=cfg.noise_std[0],
+                                     maxval=cfg.noise_std[1])
+            noise = jax.random.normal(k[2], sub.shape, dtype=dt) \
+                * std.astype(dt)[:, None, None, None]
+            return jnp.clip(sub + noise, 0.0, 1.0).astype(dt)
+
+        x, _ = _compact_apply(k[20], x, do, _subset_budget(n, cfg.p_noise),
+                              noise_fn)
 
     if cfg.p_blur > 0:
         # OneOf {motion, median, box}, per-image choice with the
@@ -1021,22 +1037,31 @@ def _photometric_batch(key, x, cfg: AugmentConfig):
         x = jnp.where(gate(do), chosen, x)
 
     if cfg.p_hsv > 0:
+        # the RGB->HSV->RGB round trip (divides, mods, 6-way selects) is
+        # ~10 VPU passes; ride the compacted HSV subset.  Shifts are
+        # drawn per subset SLOT -- exchangeable iid, same distribution
         do = u(k[14]) < cfg.p_hsv
-        khsv = jax.random.split(k[15], 3)
-        dh = jax.random.uniform(khsv[0], (n,), minval=-cfg.hue_shift,
-                                maxval=cfg.hue_shift)
-        ds = jax.random.uniform(khsv[1], (n,), minval=-cfg.sat_shift,
-                                maxval=cfg.sat_shift)
-        dv = jax.random.uniform(khsv[2], (n,), minval=-cfg.val_shift,
-                                maxval=cfg.val_shift)
-        hsv = _rgb_to_hsv(jnp.clip(x, 0.0, 1.0))
-        p3 = lambda a: a.astype(dt)[:, None, None]
-        hsv = jnp.stack([
-            (hsv[..., 0] + p3(dh)) % 1.0,
-            jnp.clip(hsv[..., 1] + p3(ds), 0.0, 1.0),
-            jnp.clip(hsv[..., 2] + p3(dv), 0.0, 1.0),
-        ], axis=-1)
-        x = jnp.where(gate(do), _hsv_to_rgb(hsv), x)
+
+        def hsv_fn(sub):
+            m_ = sub.shape[0]
+            khsv = jax.random.split(k[15], 3)
+            dh = jax.random.uniform(khsv[0], (m_,), minval=-cfg.hue_shift,
+                                    maxval=cfg.hue_shift)
+            ds = jax.random.uniform(khsv[1], (m_,), minval=-cfg.sat_shift,
+                                    maxval=cfg.sat_shift)
+            dv = jax.random.uniform(khsv[2], (m_,), minval=-cfg.val_shift,
+                                    maxval=cfg.val_shift)
+            hsv = _rgb_to_hsv(jnp.clip(sub, 0.0, 1.0))
+            p3 = lambda a: a.astype(dt)[:, None, None]
+            hsv = jnp.stack([
+                (hsv[..., 0] + p3(dh)) % 1.0,
+                jnp.clip(hsv[..., 1] + p3(ds), 0.0, 1.0),
+                jnp.clip(hsv[..., 2] + p3(dv), 0.0, 1.0),
+            ], axis=-1)
+            return _hsv_to_rgb(hsv).astype(dt)
+
+        x, _ = _compact_apply(k[21], x, do, _subset_budget(n, cfg.p_hsv),
+                              hsv_fn)
     return x
 
 
