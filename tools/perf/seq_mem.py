@@ -18,9 +18,16 @@ TILE, CLASSES = 512, 23
 kw = {}
 if "blog" in name:
     kw["logits_dtype"] = jnp.bfloat16
+remat = False
+if "remat_e" in name:
+    remat = "encoder"
+elif "remat_d" in name:
+    remat = "decoder"
+elif "remat" in name:
+    remat = True
 bundle = create_unet(encoder_name="resnet34", encoder_weights=None,
                      classes=CLASSES, image_size=TILE,
-                     remat=("remat" in name), **kw)
+                     remat=remat, **kw)
 disc = create_discriminator(input_channels=3, image_size=TILE)
 step = step_lib.make_unsupervised_sequential_step(
     bundle.module, disc.module, CLASSES, FineTuningLoss(),
