@@ -71,11 +71,13 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         batch_candidates = (128, 64, 32, 16, 8)
 
     n_chips = jax.device_count()
-    # phase 3 rematerializes per-block (three grad-bearing forwards at
-    # 512px exceed HBM otherwise) and stores logits in bf16 -- value-
-    # identical when the head computes in bf16, and the f32 KL-target
-    # buffers were the largest allocations in the B=64 OOM dump
-    unsup_kw = ({"remat": True, "logits_dtype": jnp.bfloat16}
+    # phase 3 rematerializes the ENCODER per-block (three grad-bearing
+    # forwards at 512px exceed HBM otherwise; decoder activations are
+    # saved -- r3 A/B: encoder-only 978.5 ms vs full-remat 1022.4 at
+    # B=128, decoder-only compile-OOM) and stores logits in bf16 --
+    # value-identical when the head computes in bf16, and the f32
+    # KL-target buffers were the largest allocations in the B=64 OOM dump
+    unsup_kw = ({"remat": "encoder", "logits_dtype": jnp.bfloat16}
                 if mode == "unsup" and not smoke else {})
     # (smoke's 64px traces stay on the naive decoder automatically: the
     # UnetDecoder trace-time gate keeps the dilated schedule off <128px

@@ -97,6 +97,56 @@ _FOLD = np.asarray([[1, 1, 0, 0], [0, 1, 1, 0], [0, 0, 1, 1]],
                    dtype=np.float32)
 
 
+def _dilated_fwd_conv(x, kernel, preferred_dtype=None):
+    """The raw dilated-schedule forward (autodiff backward)."""
+    a = _FOLD
+    k4 = jnp.einsum("it,js,ijco->tsco", a, a, kernel.astype(jnp.float32))
+    y = jax.lax.conv_general_dilated(
+        x, k4.astype(x.dtype), window_strides=(1, 1),
+        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred_dtype)
+    return y
+
+
+@jax.custom_vjp
+def _dilated_phase_bwd(x, kernel):
+    return _dilated_fwd_conv(x, kernel)
+
+
+def _dpb_fwd(x, kernel):
+    return _dilated_fwd_conv(x, kernel), (x, kernel)
+
+
+def _dpb_bwd(res, g):
+    x, kernel = res
+    # The map is bilinear, so each cotangent is a plain linear transpose
+    # (no forward recompute).  The input-grad keeps autodiff's dilated
+    # transpose (an efficient stride-2 conv); the KERNEL-grad -- the
+    # path where XLA:TPU reverses the full-resolution output-grad --
+    # routes through the phase-decomposed schedule, whose kernel-grads
+    # are standard plain-conv transposes.
+    dx = jax.linear_transpose(
+        lambda xx: _dilated_fwd_conv(xx, kernel), x)(g)[0]
+    dk = jax.linear_transpose(
+        lambda kk: upsample2x_conv3x3(x, kk), kernel)(g)[0]
+    return dx, dk
+
+
+_dilated_phase_bwd.defvjp(_dpb_fwd, _dpb_bwd)
+
+# MEASURED NON-WIN, kept for the record (r3s6, one v5e, supervised
+# B=128 @ 512px): routing the dilated conv's backward through the
+# phase-decomposed schedule -- to remove ~10 ms/step of XLA %reverse on
+# the 1 GB output-grads feeding its kernel-grad convs -- LOSES in-step:
+# 354.6 ms with both cotangents phased, 354.4 ms with only the
+# kernel-grad phased (autodiff control: 321.6 ms).  The phase
+# transpose's de-interleave of the full-resolution cotangent costs more
+# than the reverses it removes.  Gradient parity of both variants vs
+# the naive path was pinned at ~1e-6 rel on CPU before measuring.
+# Production keeps plain autodiff of the lhs-dilated conv.
+
+
 def upsample2x_conv3x3_dilated(x, kernel, preferred_dtype=None):
     """conv3x3-SAME over the nearest-2x upsampling of ``x`` as ONE
     input-dilated (transposed-style) convolution.
@@ -117,12 +167,11 @@ def upsample2x_conv3x3_dilated(x, kernel, preferred_dtype=None):
     instead of the naive 36.  The fold runs in f32 on the (3,3,Ci,Co)
     weights (one tiny einsum per step); exactness vs the naive path is
     pinned by tests/test_models.py.
+
+    Backward: plain autodiff.  XLA:TPU reverses the full-resolution
+    output-grad before the kernel-grad conv (~10 ms/step of %reverse at
+    B=128 @ 512px, r3s6 profile), but both phase-routed alternatives
+    measured SLOWER in-step -- see the ledger note on
+    ``_dilated_phase_bwd`` below, which is kept for the record.
     """
-    a = _FOLD
-    k4 = jnp.einsum("it,js,ijco->tsco", a, a, kernel.astype(jnp.float32))
-    y = jax.lax.conv_general_dilated(
-        x, k4.astype(x.dtype), window_strides=(1, 1),
-        padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred_dtype)
-    return y
+    return _dilated_fwd_conv(x, kernel, preferred_dtype)

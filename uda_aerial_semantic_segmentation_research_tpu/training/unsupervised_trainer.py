@@ -85,9 +85,12 @@ class UnsupervisedTrainer(SegmentationTrainer):
         # HBM wall from B=16 to B>=64 at 512px (BASELINE.md).  Accepts
         # True / False / "encoder" / "decoder" (models/unet.py): partial
         # remat saves one half's activations to skip its recompute where
-        # the HBM headroom allows.  "auto" = full remat (True) -- the
-        # measured phase-3 production point at B=128 @ 512px.
-        self.remat = True if remat == "auto" else remat
+        # the HBM headroom allows.  "auto" = encoder-only remat -- the
+        # measured phase-3 production point at B=128 @ 512px (r3 A/B,
+        # one v5e: encoder 978.5 ms vs full 1022.4 vs decoder-only
+        # compile-OOM by 181 MB; saving the decoder activations skips
+        # the pricier high-resolution recompute).
+        self.remat = "encoder" if remat == "auto" else remat
         # sequential: split the update into per-view backward programs
         # (steps.make_unsupervised_sequential_step) -- identical gradients
         # at one forward+backward's peak HBM, for still-larger batches.
