@@ -126,6 +126,52 @@ def test_adversarial_step(seg_bundle, disc_bundle, batch):
     assert int(state.seg.step) == 1 and int(state.disc.step) == 1
 
 
+def test_adversarial_sequential_matches_fused(seg_bundle, disc_bundle, batch):
+    """make_adversarial_sequential_step == make_adversarial_train_step.
+
+    Same key -> same in-program augment draws, so the 3-program
+    decomposition must reproduce the fused step's D and G updates,
+    metrics, and BN stats to cross-program float reassociation.  SGD(1.0)
+    makes the post-step param delta the gradient itself (see the
+    unsupervised equivalence test above for the rationale).
+    """
+    import optax
+
+    images, masks = batch
+    kw = dict(lambda_adv=0.001, aug_cfg=NOISE_ONLY)
+    fused = step_lib.make_adversarial_train_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, **kw)
+    seq = step_lib.make_adversarial_sequential_step(
+        seg_bundle.module, disc_bundle.module, CLASSES, **kw)
+
+    def mk():
+        return AdversarialState(
+            seg=TrainState.from_bundle(seg_bundle, optax.sgd(1.0)),
+            disc=TrainState.from_bundle(disc_bundle, optax.sgd(1.0)))
+
+    key = jax.random.key(7)
+    sa, ma = fused(mk(), key, images, masks, images[::-1])
+    sb, mb = seq(mk(), key, images, masks, images[::-1])
+    for k in ("loss", "seg_loss", "adv_loss", "d_loss", "iou", "accuracy"):
+        np.testing.assert_allclose(float(ma[k]), float(mb[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    for k in ("source_domain_prob", "target_domain_prob"):
+        np.testing.assert_allclose(np.asarray(ma[k]), np.asarray(mb[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+    assert int(sb.seg.step) == int(sb.disc.step) == 1
+    for attr in ("params", "batch_stats"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3,
+                                                    atol=5e-5),
+            jax.device_get(getattr(sa.seg, attr)),
+            jax.device_get(getattr(sb.seg, attr)))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-3,
+                                                    atol=5e-5),
+            jax.device_get(getattr(sa.disc, attr)),
+            jax.device_get(getattr(sb.disc, attr)))
+
+
 def test_unsupervised_step_and_rampup(seg_bundle, disc_bundle, batch):
     from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
         FineTuningLoss,
