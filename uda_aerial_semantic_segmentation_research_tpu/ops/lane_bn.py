@@ -241,9 +241,22 @@ class BatchNorm(nn.Module):
             y, mean, var = _bn_train(self.epsilon, out_dtype, x, scale, bias)
         else:
             x32 = x.astype(jnp.float32)
+            # UDA_TPU_BN_BARRIER=1 (experiment knob, measured NON-WIN):
+            # fence the statistics input so XLA cannot fuse the
+            # convert+reduce into the producing conv's kOutput epilogue.
+            # Tested whether the inline cross-lane f32 accumulation is
+            # what holds those fusions at ~3x their bandwidth floor —
+            # it is not: separating costs a full extra read of every
+            # activation and LOSES 361.7 vs 321.6 ms/step at
+            # B=128 @ 512px (r3s6, BASELINE.md).  Default off; identity
+            # math either way (barrier is a scheduling fence).
+            if os.environ.get("UDA_TPU_BN_BARRIER") == "1":
+                s32 = jax.lax.optimization_barrier(x).astype(jnp.float32)
+            else:
+                s32 = x32
             axes = tuple(range(x.ndim - 1))
-            mean = x32.mean(axes)
-            var = jnp.maximum(0.0, jax.lax.square(x32).mean(axes)
+            mean = s32.mean(axes)
+            var = jnp.maximum(0.0, jax.lax.square(s32).mean(axes)
                               - jax.lax.square(mean))
             mul = jax.lax.rsqrt(var + self.epsilon) * scale
             y = ((x32 - mean) * mul + bias).astype(out_dtype)
