@@ -116,6 +116,28 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
             return adv(state, key, images, masks, images[::-1])
 
         step = adv_step
+    elif mode == "grl":
+        # single-pass GRL adversarial update (the reference's alternative
+        # generation, trainer_phases.phase2_train): feature-level
+        # discriminator behind a gradient-reversal layer -- one
+        # traversal, one backward, one optimizer
+        from uda_aerial_semantic_segmentation_research_tpu.models import (
+            create_uda_model,
+        )
+
+        # same encoder as --mode adv for an apples-to-apples comparison
+        # (the reference's trainer_phases defaults to resnet50 -- pass
+        # --encoder resnet50 for that flavor)
+        uda = create_uda_model(encoder_name=encoder, classes=classes,
+                               image_size=tile)
+        grl = step_lib.make_grl_train_step(uda.module, classes)
+        bundle = uda  # state built from the UDA bundle below
+
+        def grl_step(state, key, images, masks):
+            return grl(state, key, images, masks, images[::-1],
+                       jnp.float32(1.0))
+
+        step = grl_step
     elif mode == "unsup":
         # phase-3 dual-view consistency update on unlabeled target tiles
         from uda_aerial_semantic_segmentation_research_tpu.models import (
@@ -427,7 +449,7 @@ if __name__ == "__main__":
     p.add_argument("--smoke", action="store_true", help="tiny shapes, quick run")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--mode", choices=("train", "infer", "adv", "unsup", "e2e"),
+    p.add_argument("--mode", choices=("train", "infer", "adv", "grl", "unsup", "e2e"),
                    default="train")
     a = p.parse_args()
     _arm_device_init_watchdog(

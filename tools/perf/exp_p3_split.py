@@ -86,7 +86,6 @@ def mk_gd():
 gd, dom_v, disc_stats, dlogits = timeit("grad_disc", P["grad_disc"],
                                         donatefix=mk_gd)
 
-import copy
 
 
 def mk_combine():

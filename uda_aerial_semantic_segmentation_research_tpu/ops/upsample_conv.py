@@ -109,42 +109,19 @@ def _dilated_fwd_conv(x, kernel, preferred_dtype=None):
     return y
 
 
-@jax.custom_vjp
-def _dilated_phase_bwd(x, kernel):
-    return _dilated_fwd_conv(x, kernel)
-
-
-def _dpb_fwd(x, kernel):
-    return _dilated_fwd_conv(x, kernel), (x, kernel)
-
-
-def _dpb_bwd(res, g):
-    x, kernel = res
-    # The map is bilinear, so each cotangent is a plain linear transpose
-    # (no forward recompute).  The input-grad keeps autodiff's dilated
-    # transpose (an efficient stride-2 conv); the KERNEL-grad -- the
-    # path where XLA:TPU reverses the full-resolution output-grad --
-    # routes through the phase-decomposed schedule, whose kernel-grads
-    # are standard plain-conv transposes.
-    dx = jax.linear_transpose(
-        lambda xx: _dilated_fwd_conv(xx, kernel), x)(g)[0]
-    dk = jax.linear_transpose(
-        lambda kk: upsample2x_conv3x3(x, kk), kernel)(g)[0]
-    return dx, dk
-
-
-_dilated_phase_bwd.defvjp(_dpb_fwd, _dpb_bwd)
-
 # MEASURED NON-WIN, kept for the record (r3s6, one v5e, supervised
-# B=128 @ 512px): routing the dilated conv's backward through the
-# phase-decomposed schedule -- to remove ~10 ms/step of XLA %reverse on
-# the 1 GB output-grads feeding its kernel-grad convs -- LOSES in-step:
-# 354.6 ms with both cotangents phased, 354.4 ms with only the
-# kernel-grad phased (autodiff control: 321.6 ms).  The phase
-# transpose's de-interleave of the full-resolution cotangent costs more
-# than the reverses it removes.  Gradient parity of both variants vs
-# the naive path was pinned at ~1e-6 rel on CPU before measuring.
-# Production keeps plain autodiff of the lhs-dilated conv.
+# B=128 @ 512px): a custom_vjp routing the dilated conv's backward
+# through the phase-decomposed schedule -- each cotangent a
+# jax.linear_transpose (the map is bilinear, so no forward recompute),
+# to remove ~10 ms/step of XLA %reverse on the 1 GB output-grads
+# feeding its kernel-grad convs -- LOSES in-step: 354.6 ms with both
+# cotangents phased, 354.4 ms with only the kernel-grad phased
+# (autodiff control: 321.6 ms).  The phase transpose's de-interleave of
+# the full-resolution cotangent costs more than the reverses it
+# removes.  Gradient parity of both variants vs the naive path was
+# pinned at ~1e-6 rel on CPU before measuring (git history of this file
+# has the implementation).  Production keeps plain autodiff of the
+# lhs-dilated conv.
 
 
 def upsample2x_conv3x3_dilated(x, kernel, preferred_dtype=None):
@@ -171,7 +148,7 @@ def upsample2x_conv3x3_dilated(x, kernel, preferred_dtype=None):
     Backward: plain autodiff.  XLA:TPU reverses the full-resolution
     output-grad before the kernel-grad conv (~10 ms/step of %reverse at
     B=128 @ 512px, r3s6 profile), but both phase-routed alternatives
-    measured SLOWER in-step -- see the ledger note on
-    ``_dilated_phase_bwd`` below, which is kept for the record.
+    measured SLOWER in-step -- see the ledger note above
+    ``upsample2x_conv3x3_dilated``.
     """
     return _dilated_fwd_conv(x, kernel, preferred_dtype)

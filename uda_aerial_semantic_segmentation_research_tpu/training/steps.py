@@ -235,43 +235,12 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
         xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
         xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
 
-        # --- step A: discriminator ------------------------------------
-        def d_loss_fn(d_params):
-            if concat_disc:
-                logit, stats = _apply_train(
-                    disc_module, d_params, state.disc.batch_stats,
-                    jnp.concatenate([xs, xt], axis=0), return_logits=True)
-                s_logit, t_logit = jnp.split(logit, 2, axis=0)
-            else:
-                s_logit, stats = _apply_train(disc_module, d_params,
-                                              state.disc.batch_stats, xs,
-                                              return_logits=True)
-                t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
-                                              return_logits=True)
-            loss = adv.discriminator_loss(s_logit, t_logit)
-            return loss, (s_logit, t_logit, stats)
-
-        (d_loss, (s_logit, t_logit, d_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.disc.params)
-        disc = state.disc.apply_gradients(d_grads, batch_stats=d_stats)
-
-        # --- step B: generator (segmentation model) -------------------
-        def g_loss_fn(params):
-            logits, new_stats = _apply_train(seg_module, params,
-                                             state.seg.batch_stats, xs)
-            seg_loss = softmax_cross_entropy(logits, ms)
-            t_logit2 = _apply_eval(disc_module, disc.params, disc.batch_stats,
-                                   xt, return_logits=True)
-            adv_loss = adv.generator_loss(t_logit2)
-            return seg_loss + adv_loss, (logits, new_stats, seg_loss, adv_loss)
-
-        (g_total, (logits, seg_stats, seg_loss, adv_loss)), g_grads = (
-            jax.value_and_grad(g_loss_fn, has_aux=True)(state.seg.params))
-        seg = state.seg.apply_gradients(g_grads, batch_stats=seg_stats)
-
-        metrics = _seg_metrics(logits, ms, num_classes)
+        disc, d_loss, s_logit, t_logit = _adv_d_update(
+            adv, disc_module, state.disc, xs, xt, concat_disc)
+        seg, metrics = _adv_g_update(adv, seg_module, disc_module,
+                                     num_classes, state.seg, disc.params,
+                                     disc.batch_stats, xs, ms, xt)
         metrics.update({
-            "loss": g_total, "seg_loss": seg_loss, "adv_loss": adv_loss,
             "d_loss": d_loss,
             "source_domain_prob": jax.nn.sigmoid(s_logit),
             "target_domain_prob": jax.nn.sigmoid(t_logit),
@@ -281,6 +250,119 @@ def make_adversarial_train_step(seg_module, disc_module, num_classes: int,
         )
 
         return AdversarialState(seg=seg, disc=disc), metrics
+
+    return step
+
+
+def _adv_d_update(adv, disc_module, disc_state, xs, xt, concat_disc=False):
+    """Step A of the adversarial update: one discriminator TrainState
+    update on D(src) vs D(tgt) (labels 1/0, sequential per-domain BN
+    unless ``concat_disc``).  Shared by the fused and sequential step
+    factories so their D semantics cannot drift apart."""
+
+    def d_loss_fn(d_params):
+        if concat_disc:
+            logit, stats = _apply_train(
+                disc_module, d_params, disc_state.batch_stats,
+                jnp.concatenate([xs, xt], axis=0), return_logits=True)
+            s_logit, t_logit = jnp.split(logit, 2, axis=0)
+        else:
+            s_logit, stats = _apply_train(disc_module, d_params,
+                                          disc_state.batch_stats, xs,
+                                          return_logits=True)
+            t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
+                                          return_logits=True)
+        loss = adv.discriminator_loss(s_logit, t_logit)
+        return loss, (s_logit, t_logit, stats)
+
+    (d_loss, (s_logit, t_logit, d_stats)), d_grads = jax.value_and_grad(
+        d_loss_fn, has_aux=True)(disc_state.params)
+    disc = disc_state.apply_gradients(d_grads, batch_stats=d_stats)
+    return disc, d_loss, s_logit, t_logit
+
+
+def _adv_g_update(adv, seg_module, disc_module, num_classes, seg_state,
+                  disc_params, disc_stats, xs, ms, xt):
+    """Step B of the adversarial update: one segmentation TrainState
+    update on CE(source) + generator BCE against the UPDATED
+    discriminator's eval-mode D(tgt).  Returns (seg state, seg metrics
+    incl. loss/seg_loss/adv_loss).  Shared by both step factories."""
+
+    def g_loss_fn(params):
+        logits, new_stats = _apply_train(seg_module, params,
+                                         seg_state.batch_stats, xs)
+        seg_loss = softmax_cross_entropy(logits, ms)
+        t_logit2 = _apply_eval(disc_module, disc_params, disc_stats,
+                               xt, return_logits=True)
+        adv_loss = adv.generator_loss(t_logit2)
+        return seg_loss + adv_loss, (logits, new_stats, seg_loss, adv_loss)
+
+    (g_total, (logits, seg_stats, seg_loss, adv_loss)), g_grads = (
+        jax.value_and_grad(g_loss_fn, has_aux=True)(seg_state.params))
+    seg = seg_state.apply_gradients(g_grads, batch_stats=seg_stats)
+    metrics = _seg_metrics(logits, ms, num_classes)
+    metrics.update({"loss": g_total, "seg_loss": seg_loss,
+                    "adv_loss": adv_loss})
+    return seg, metrics
+
+
+def make_grl_train_step(module, num_classes: int, lambda_domain: float = 1.0,
+                        aug_cfg: AugmentConfig = WEAK):
+    """Single-pass GRL phase-2 update (reference trainer_phases.py:104-208).
+
+    The alternative adversarial generation: ``module`` is a
+    ``UDASegmentationModel`` whose feature-level discriminator sits
+    behind a gradient-reversal layer, so ONE traversal + ONE backward
+    trains segmentation and domain heads jointly with
+    ``seg + lambda * domain`` (the encoder receives the REVERSED domain
+    gradient).  This is the TPU-native fast path for adversarial UDA —
+    no D/G alternation, no second optimizer (SURVEY.md §7).
+
+    (state, key, uint8 src images, src masks NHW, uint8 tgt images,
+    alpha) -> (state, metrics with loss/seg_loss/domain_loss/domain_acc
+    + seg metrics).  ``alpha`` scales the reversed gradient (traced, so
+    per-epoch ramping does not retrace).
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        sigmoid_bce_with_logits,
+    )
+
+    lam = lambda_domain
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state, key, src_images, src_masks, tgt_images, alpha):
+        key = jax.random.fold_in(key, state.step)  # in-program derivation
+        k1, k2 = jax.random.split(key)
+        xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
+        xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+
+        def loss_fn(params):
+            (seg, d_src), stats = _apply_train(
+                module, params, state.batch_stats, xs,
+                domain_adaptation=True, alpha=alpha)
+            variables = {"params": params, "batch_stats": stats}
+            (_, d_tgt), mut = module.apply(
+                variables, xt, train=True, domain_adaptation=True,
+                alpha=alpha, mutable=["batch_stats"])
+            seg_loss = softmax_cross_entropy(seg, ms)
+            # GRL: the discriminator head is trained to classify
+            # src=1 / tgt=0; the reversed gradient confuses the encoder
+            domain_loss = (
+                sigmoid_bce_with_logits(d_src, jnp.ones_like(d_src))
+                + sigmoid_bce_with_logits(d_tgt, jnp.zeros_like(d_tgt))) / 2.0
+            total = seg_loss + lam * domain_loss
+            return total, (seg, d_src, d_tgt, mut["batch_stats"],
+                           seg_loss, domain_loss)
+
+        (total, (seg, d_src, d_tgt, stats, seg_loss, domain_loss)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        state = state.apply_gradients(grads, batch_stats=stats)
+        m = _seg_metrics(seg, ms, num_classes)
+        domain_acc = 0.5 * (jnp.mean((d_src >= 0).astype(jnp.float32))
+                            + jnp.mean((d_tgt < 0).astype(jnp.float32)))
+        m.update({"loss": total, "seg_loss": seg_loss,
+                  "domain_loss": domain_loss, "domain_acc": domain_acc})
+        return state, m
 
     return step
 
@@ -317,10 +399,17 @@ def make_adversarial_sequential_step(seg_module, disc_module,
     derivation, state donated.
     """
     adv = AdversarialLoss(lambda_adv)
-    view_dtype = getattr(seg_module, "dtype", None)
+    seg_dtype = getattr(seg_module, "dtype", None)
+    disc_dtype = getattr(disc_module, "dtype", None)
+    # xs feeds BOTH modules, so pre-casting across the dispatch boundary
+    # is only value-identical (each module casts its input at its first
+    # conv anyway) when their compute dtypes agree; xt feeds only the
+    # discriminator.  Mirrors _view(x0, disc_dtype) in the phase-3
+    # sequential step.
+    xs_dtype = seg_dtype if seg_dtype == disc_dtype else None
 
-    def _view(x):
-        return x.astype(view_dtype) if view_dtype is not None else x
+    def _view(x, dtype):
+        return x.astype(dtype) if dtype is not None else x
 
     @jax.jit
     def prep(key, step, src_images, src_masks, tgt_images):
@@ -328,43 +417,16 @@ def make_adversarial_sequential_step(seg_module, disc_module,
         k1, k2 = jax.random.split(key)
         xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
         xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
-        return _view(xs), ms, _view(xt)
+        return _view(xs, xs_dtype), ms, _view(xt, disc_dtype)
 
     @partial(jax.jit, donate_argnums=(0,))
     def d_step(disc_state, xs, xt):
-        def d_loss_fn(d_params):
-            s_logit, stats = _apply_train(disc_module, d_params,
-                                          disc_state.batch_stats, xs,
-                                          return_logits=True)
-            t_logit, stats = _apply_train(disc_module, d_params, stats, xt,
-                                          return_logits=True)
-            loss = adv.discriminator_loss(s_logit, t_logit)
-            return loss, (s_logit, t_logit, stats)
-
-        (d_loss, (s_logit, t_logit, d_stats)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(disc_state.params)
-        disc = disc_state.apply_gradients(d_grads, batch_stats=d_stats)
-        return disc, d_loss, s_logit, t_logit
+        return _adv_d_update(adv, disc_module, disc_state, xs, xt)
 
     @partial(jax.jit, donate_argnums=(0, 3, 4, 5))
     def g_step(seg_state, disc_params, disc_stats, xs, ms, xt):
-        def g_loss_fn(params):
-            logits, new_stats = _apply_train(seg_module, params,
-                                             seg_state.batch_stats, xs)
-            seg_loss = softmax_cross_entropy(logits, ms)
-            t_logit2 = _apply_eval(disc_module, disc_params, disc_stats,
-                                   xt, return_logits=True)
-            adv_loss = adv.generator_loss(t_logit2)
-            return seg_loss + adv_loss, (logits, new_stats, seg_loss,
-                                         adv_loss)
-
-        (g_total, (logits, seg_stats, seg_loss, adv_loss)), g_grads = (
-            jax.value_and_grad(g_loss_fn, has_aux=True)(seg_state.params))
-        seg = seg_state.apply_gradients(g_grads, batch_stats=seg_stats)
-        metrics = _seg_metrics(logits, ms, num_classes)
-        metrics.update({"loss": g_total, "seg_loss": seg_loss,
-                        "adv_loss": adv_loss})
-        return seg, metrics
+        return _adv_g_update(adv, seg_module, disc_module, num_classes,
+                             seg_state, disc_params, disc_stats, xs, ms, xt)
 
     def step(state, key, src_images, src_masks, tgt_images):
         xs, ms, xt = prep(key, state.seg.step, src_images, src_masks,

@@ -13,9 +13,17 @@ optimizer per phase:
                                + ``-mean|sigmoid(domain) - 0.5|``
                                confusion term, lr 1e-5, 20 epochs
 
-This is the TPU-native fast path for adversarial UDA: one traversal,
-one backward pass, one optimizer -- no D/G alternation (SURVEY.md
-section 7).  Divergence, documented: the reference calls EarlyStopping
+One traversal per domain, one backward pass, one optimizer -- no D/G
+alternation (SURVEY.md section 7).  Measured (r3s6, one v5e, B=128 @
+512px, resnet34, ``bench.py --mode grl``): 591.1 ms/step = 216.6
+tiles/s vs the two-optimizer image-disc path's 454.1 ms / 281.9 t/s --
+the feature-level GRL discriminator rides a SECOND grad-bearing
+encoder pass (the target batch), which costs more than the image-level
+scheme's conv-cheap discriminator updates.  The schemes are not
+substitutes: only the GRL path propagates an adversarial gradient into
+the encoder (the image-disc generator term has zero generator gradient,
+a preserved reference quirk -- see steps.make_adversarial_train_step).
+Divergence, documented: the reference calls EarlyStopping
 with the wrong signature (``early_stopping(val_loss)`` at :100 vs the
 actual ``__call__(epoch, metrics, logger)``, a latent crash); we use a
 correct simple patience counter on the per-phase selection score.
@@ -34,13 +42,8 @@ import numpy as np
 from uda_aerial_semantic_segmentation_research_tpu.config import Config
 from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
     STRONG,
-    WEAK,
     augment_batch,
     normalize_images,
-)
-from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
-    sigmoid_bce_with_logits,
-    softmax_cross_entropy,
 )
 from uda_aerial_semantic_segmentation_research_tpu.training import steps as step_lib
 from uda_aerial_semantic_segmentation_research_tpu.training.adversarial_trainer import (
@@ -93,48 +96,11 @@ class MultiPhaseTrainer:
         return self._steps["p1"]
 
     def _phase2_step(self):
-        if "p2" in self._steps:
-            return self._steps["p2"]
-        module = self.model.module
-        lam = self.lambda_domain
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def step(state, key, src_images, src_masks, tgt_images, alpha):
-            key = jax.random.fold_in(key, state.step)  # in-program derivation
-            k1, k2 = jax.random.split(key)
-            xs, ms = augment_batch(k1, src_images, src_masks, cfg=WEAK)
-            xt, _ = augment_batch(k2, tgt_images, None, cfg=WEAK)
-
-            def loss_fn(params):
-                (seg, d_src), stats = step_lib._apply_train(
-                    module, params, state.batch_stats, xs,
-                    domain_adaptation=True, alpha=alpha)
-                variables = {"params": params, "batch_stats": stats}
-                (_, d_tgt), mut = module.apply(
-                    variables, xt, train=True, domain_adaptation=True,
-                    alpha=alpha, mutable=["batch_stats"])
-                seg_loss = softmax_cross_entropy(seg, ms)
-                # GRL: the discriminator head is trained to classify
-                # src=1 / tgt=0; the reversed gradient confuses the encoder
-                domain_loss = (
-                    sigmoid_bce_with_logits(d_src, jnp.ones_like(d_src))
-                    + sigmoid_bce_with_logits(d_tgt, jnp.zeros_like(d_tgt))) / 2.0
-                total = seg_loss + lam * domain_loss
-                return total, (seg, d_src, d_tgt, mut["batch_stats"],
-                               seg_loss, domain_loss)
-
-            (total, (seg, d_src, d_tgt, stats, seg_loss, domain_loss)), grads = (
-                jax.value_and_grad(loss_fn, has_aux=True)(state.params))
-            state = state.apply_gradients(grads, batch_stats=stats)
-            m = step_lib._seg_metrics(seg, ms, self.num_classes)
-            domain_acc = 0.5 * (jnp.mean((d_src >= 0).astype(jnp.float32))
-                                + jnp.mean((d_tgt < 0).astype(jnp.float32)))
-            m.update({"loss": total, "seg_loss": seg_loss,
-                      "domain_loss": domain_loss, "domain_acc": domain_acc})
-            return state, m
-
-        self._steps["p2"] = step
-        return step
+        if "p2" not in self._steps:
+            self._steps["p2"] = step_lib.make_grl_train_step(
+                self.model.module, self.num_classes,
+                lambda_domain=self.lambda_domain)
+        return self._steps["p2"]
 
     def _phase3_step(self):
         if "p3" in self._steps:
