@@ -249,6 +249,46 @@ def test_adversarial_step_matches_single_device(seg_bundle, disc_bundle):
     assert jax.tree.leaves(s8.disc.params)[0].sharding.is_fully_replicated
 
 
+def test_grl_step_matches_single_device():
+    """8-way sharded single-pass GRL step == single-device: the
+    gradient-reversal custom_vjp, the feature-level discriminator's
+    cross-replica BatchNorm, and the joint seg+domain gradient psum all
+    under SPMD sharding (completes mesh coverage of all four step
+    families)."""
+    import optax
+
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    msk = rng.integers(0, CLASSES, (N_DEV, SIZE, SIZE)).astype(np.int32)
+    tgt = rng.integers(0, 255, (N_DEV, SIZE, SIZE, 3)).astype(np.uint8)
+    step = step_lib.make_grl_train_step(bundle.module, CLASSES, aug_cfg=NONE)
+    key = jax.random.key(12)
+    alpha = jnp.float32(0.5)
+
+    def fresh():
+        return TrainState.from_bundle(bundle, optax.sgd(0.1))
+
+    s1, m1 = step(fresh(), key, src, msk, tgt, alpha)
+
+    mesh = create_mesh(jax.devices()[:N_DEV])
+    k8 = jax.device_put(key, NamedSharding(mesh, P()))
+    s8, m8 = step(replicate(fresh(), mesh), k8, shard_batch(src, mesh),
+                  shard_batch(msk, mesh), shard_batch(tgt, mesh), alpha)
+
+    for name in ("loss", "seg_loss", "domain_loss", "domain_acc"):
+        assert abs(float(m1[name]) - float(m8[name])) < 1e-4, name
+    for p1, p8 in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+    assert jax.tree.leaves(s8.params)[0].sharding.is_fully_replicated
+
+
 def test_unsupervised_step_matches_single_device(seg_bundle, disc_bundle):
     """8-way sharded phase-3 step == single-device: dict-pytree params
     {seg, disc}, joint gradient, and the in-step finite guard all under
