@@ -371,6 +371,44 @@ def test_remat_unet_matches_plain(batch):
                                        atol=1e-6, rtol=1e-6)
 
 
+def test_remat_gradients_exact(batch):
+    """RAW GRADIENTS under every remat mode (block remat and the
+    save-conv-outputs policy modes) match remat=False to float
+    precision in f32 on the deterministic CPU backend.  Tighter than
+    the one-Adam-step check above: a post-step param comparison is
+    ~lr*sign(grad) at step 1 and would pass even with percent-level
+    gradient deviations.  (On TPU, remat'd backwards re-round bf16
+    intermediates under different fusion schedules, so small deviations
+    there are numerics, not algebra — this pins the algebra.)"""
+    from uda_aerial_semantic_segmentation_research_tpu.models import create_unet
+
+    images, _ = batch
+    x = jnp.asarray(images, jnp.float32) / 255.0
+    tgt = jax.random.normal(jax.random.key(7),
+                            (BATCH, SIZE, SIZE, CLASSES), jnp.float32)
+
+    def grads_for(rm):
+        b = create_unet(encoder_name="resnet18", classes=CLASSES,
+                        image_size=SIZE, encoder_weights=None,
+                        dtype=jnp.float32, remat=rm)
+
+        def loss_fn(params):
+            logits, _ = b.module.apply(
+                {"params": params, "batch_stats": b.batch_stats},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.mean((logits.astype(jnp.float32) - tgt) ** 2)
+
+        return jax.tree.leaves(jax.grad(loss_fn)(b.params))
+
+    base = grads_for(False)
+    for rm in (True, "decoder", "convs", "encoder_convs", "decoder_convs",
+               "stage1", "stage12"):
+        for a, g in zip(base, grads_for(rm)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(g),
+                                       atol=1e-6, rtol=1e-5,
+                                       err_msg=f"remat={rm}")
+
+
 def test_mobilenet_v2_encoder(batch):
     """MobileNetV2 encoder: smp-style 6-level pyramid with the
     (3, 16, 24, 32, 96, 1280) channel signature."""

@@ -11,7 +11,8 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.losses import FineTuningL
 
 name, B = sys.argv[1], int(sys.argv[2])
 remat = {"full": True, "encoder": "encoder", "decoder": "decoder",
-         "none": False}[name]
+         "none": False, "convs": "convs", "encoder_convs": "encoder_convs",
+         "decoder_convs": "decoder_convs"}.get(name, name)
 TILE, CLASSES = 512, 23
 bundle = create_unet(encoder_name="resnet34", encoder_weights=None,
                      classes=CLASSES, image_size=TILE, remat=remat,

@@ -54,7 +54,7 @@ def timeit(name, fn, *args, n=5, donatefix=None):
 
 
 k = jax.random.fold_in(key, 99)
-v1, v2, x0 = timeit("prep", P["prep"], k, state.step, images)
+v1, v2 = timeit("prep", P["prep"], k, state.step, images)
 # prep donates nothing; grad programs donate views -> rebuild per call
 z1, stats1 = timeit("fwd_view1", P["fwd_view1"], state.params["seg"],
                     state.batch_stats["seg"], v1)
@@ -79,7 +79,7 @@ g1 = timeit("grad_view1", P["grad_view1"], donatefix=mk_gv1)
 
 
 def mk_gd():
-    return (state.params["disc"], state.batch_stats["disc"], jnp.array(x0),
+    return (state.params["disc"], state.batch_stats["disc"], images,
             epoch)
 
 

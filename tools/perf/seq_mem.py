@@ -4,7 +4,7 @@ Usage: seq_mem.py <variant> <B>   (variant tokens: bf16, remat, blog)
 AOT-compiles each sub-program for the TPU and prints its temp/peak
 bytes -- finds WHICH program blows the 15.75G budget.
 """
-import sys
+import re, sys
 import jax, jax.numpy as jnp, numpy as np
 sys.path.insert(0, "/root/repo")
 from uda_aerial_semantic_segmentation_research_tpu.models import (
@@ -19,7 +19,9 @@ kw = {}
 if "blog" in name:
     kw["logits_dtype"] = jnp.bfloat16
 remat = False
-if "remat_e" in name:
+if "stage" in name:
+    remat = re.search(r"stage\d+", name).group(0)
+elif "remat_e" in name:
     remat = "encoder"
 elif "remat_d" in name:
     remat = "decoder"
@@ -73,7 +75,7 @@ sdisc = sds(stats["disc"])
 
 cprep = analyze("prep", P["prep"], kd, stepi, img)
 out_aval = jax.eval_shape(lambda k, s, t: P["prep"](k, s, t), kd, stepi, img)
-v1a, v2a, x0a = [jax.ShapeDtypeStruct(o.shape, o.dtype) for o in out_aval]
+v1a, v2a = [jax.ShapeDtypeStruct(o.shape, o.dtype) for o in out_aval]
 
 fv_out = jax.eval_shape(lambda p, s, v: P["fwd_view1"](p, s, v),
                         pseg, sseg, v1a)
@@ -85,5 +87,5 @@ gv2_out = jax.eval_shape(lambda p, s, e, v, z: P["grad_view2"](p, s, e, v, z),
 z2a = jax.ShapeDtypeStruct(gv2_out[2].shape, gv2_out[2].dtype)
 analyze("grad_view2", P["grad_view2"], pseg, st1a, epoch, v2a, z1a)
 analyze("grad_view1", P["grad_view1"], pseg, sseg, epoch, v1a, z2a)
-analyze("grad_disc", P["grad_disc"], pdisc, sdisc, x0a, epoch)
+analyze("grad_disc", P["grad_disc"], pdisc, sdisc, sds(img), epoch)
 print("done", flush=True)

@@ -28,8 +28,78 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
     LaneBN,
 )
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 ModuleDef = Any
+
+# Rematerialization-policy boundary: every conv output in the encoders
+# and decoder is tagged with this name, so ``remat="convs"`` (a
+# jax.checkpoint ``save_only_these_names`` policy) SAVES the conv
+# outputs and recomputes only the cheap elementwise chain between them
+# (BatchNorm normalize, ReLU, residual adds) on backward.  Unlike
+# per-block remat -- which recomputes the in-block CONVS, i.e. a second
+# MXU pass over the whole half of the network -- this trades a little
+# more saved HBM for a near-zero recompute bill.  checkpoint_name is an
+# identity outside a policy-equipped jax.checkpoint, so the tag is free
+# on every other path.
+CONV_SAVE_NAME = "conv_out"
+
+# Conv outputs LARGER than this (elements per image, H*W*C) are tagged
+# "_hi" instead and stay rematerialized under conv_policy: at 512px
+# input, saving the high-resolution stage-1 outputs (128^2 x 64 =
+# 1.05M, ~270 MB each at B=128) pushed phase 3's grad programs 83 MB
+# past HBM at COMPILE time, and including stage 2 (64^2 x 128 = 0.52M)
+# still RAN out at execution (the cross-program live set -- carried
+# views/logits + saved activations -- is what binds, r3s7).  384K
+# saves stages 3-4 (32^2 x 256 / 16^2 x 512, ~1 GB total at B=128),
+# which still skips ~55% of the encoder's recompute FLOPs.
+CONV_SAVE_MAX_ELEMS = 384 * 1024
+
+
+def tag_conv_out(y):
+    """Tag a conv output as a remat save point (size-thresholded)."""
+    elems = 1
+    for d in y.shape[1:]:
+        elems *= d
+    name = CONV_SAVE_NAME if elems <= CONV_SAVE_MAX_ELEMS else (
+        CONV_SAVE_NAME + "_hi")
+    return checkpoint_name(y, name)
+
+
+def conv_policy():
+    """jax.checkpoint policy: save conv outputs, recompute elementwise."""
+    import jax
+
+    return jax.checkpoint_policies.save_only_these_names(CONV_SAVE_NAME)
+
+
+def named_conv(*args, **kwargs):
+    """``nn.Conv`` whose output is tagged as a remat save point.
+
+    Construction happens in the caller's compact scope with the same
+    order/name as a plain ``nn.Conv``, so the parameter tree (auto
+    names ``Conv_0``... and explicit ``name=`` kwargs) is unchanged and
+    checkpoints interchange with the untagged modules.
+    """
+    c = nn.Conv(*args, **kwargs)
+    return lambda x: tag_conv_out(c(x))
+
+
+def _remat_stage_set(remat):
+    """Parse stage-granular remat specs: ``"stage1"`` remats only stage
+    1's blocks, ``"stage12"`` stages 1 and 2, etc. (1-based, matching
+    the ``stageN_blockM`` parameter names).  Returns None for every
+    other remat mode.  Rationale: at 512px the stage-1 block activations
+    are the 256 MB-per-tensor ones — rematerializing ONLY them frees
+    ~1.5 GB at ~19% of the full-encoder recompute bill (BASELINE.md
+    r3s8), which is what lets phase 3 drop encoder-wide remat."""
+    if isinstance(remat, str) and remat.startswith("stage"):
+        stages = {int(c) for c in remat[len("stage"):]}
+        if not stages or not stages <= {1, 2, 3, 4}:
+            raise ValueError(f"Bad stage-remat spec {remat!r}; use e.g. "
+                             "'stage1' or 'stage12' (stages 1-4)")
+        return stages
+    return None
 
 
 def _tpad(k: int):
@@ -107,21 +177,29 @@ class ResNetEncoder(nn.Module):
     in_channels: int = 3
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
-    # rematerialize each residual block on backward: only block-boundary
-    # activations are saved, trading ~1 extra in-block forward for HBM
-    # headroom (unlocks larger batches; phase 3's three grad-bearing
-    # forwards at 512px OOM without it).  Parameter tree is unchanged,
-    # so checkpoints are interchangeable with remat=False.
-    remat: bool = False
+    # rematerialize each residual block on backward.  True saves only
+    # block-boundary activations, trading ~1 extra in-block forward
+    # (a second MXU pass over the block's convs) for HBM headroom;
+    # "convs" additionally SAVES every tagged conv output (conv_policy)
+    # so backward recomputes only the elementwise BN/ReLU chain --
+    # more saved HBM than True, near-zero recompute.  Parameter tree is
+    # unchanged either way, so checkpoints interchange with remat=False.
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = partial(nn.Conv, use_bias=False, padding="SAME",
+        conv = partial(named_conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
-        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
+        remat_stages = _remat_stage_set(self.remat)
+        if self.remat == "convs":
+            block_cls = nn.remat(self.block_cls, policy=conv_policy())
+        elif self.remat and remat_stages is None:
+            block_cls = nn.remat(self.block_cls)
+        else:
+            block_cls = self.block_cls
 
         features = [x]
         y = conv(self.num_filters, (7, 7), (2, 2), padding=_tpad(7),
@@ -133,9 +211,12 @@ class ResNetEncoder(nn.Module):
         # torch MaxPool2d(3, 2, padding=1); -inf padding preserves max
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=_tpad(3))
         for stage, n_blocks in enumerate(self.stage_sizes):
+            stage_cls = block_cls
+            if remat_stages is not None and stage + 1 in remat_stages:
+                stage_cls = nn.remat(self.block_cls)
             for blk in range(n_blocks):
                 strides = 2 if stage > 0 and blk == 0 else 1
-                y = block_cls(
+                y = stage_cls(
                     filters=self.num_filters * 2 ** stage,
                     strides=strides, conv=conv, norm=norm,
                     name=f"stage{stage + 1}_block{blk}")(y)
@@ -175,17 +256,25 @@ class MobileNetV2Encoder(nn.Module):
 
     in_channels: int = 3
     dtype: Any = jnp.bfloat16
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = partial(nn.Conv, use_bias=False, padding="SAME",
+        conv = partial(named_conv, use_bias=False, padding="SAME",
                        dtype=self.dtype, param_dtype=jnp.float32)
         norm = partial(LaneBN, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5,
                        dtype=self.dtype, param_dtype=jnp.float32)
-        block_cls = (nn.remat(InvertedResidual) if self.remat
-                     else InvertedResidual)
+        if _remat_stage_set(self.remat) is not None:
+            raise ValueError("stage-granular remat is ResNet-only; "
+                             "MobileNetV2 takes remat in {False, True, "
+                             "'convs'}")
+        if self.remat == "convs":
+            block_cls = nn.remat(InvertedResidual, policy=conv_policy())
+        elif self.remat:
+            block_cls = nn.remat(InvertedResidual)
+        else:
+            block_cls = InvertedResidual
         block = partial(block_cls, conv=conv, norm=norm)
 
         features = [x]
@@ -233,7 +322,7 @@ def encoder_out_channels(encoder_name: str) -> Tuple[int, ...]:
 
 def build_encoder(encoder_name: str, in_channels: int = 3,
                   dtype: Any = jnp.bfloat16,
-                  remat: bool = False) -> ResNetEncoder:
+                  remat: Any = False) -> ResNetEncoder:
     if encoder_name not in ENCODERS:
         raise ValueError(
             f"Unknown encoder '{encoder_name}'; available: {sorted(ENCODERS)}")

@@ -22,7 +22,11 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.lane_bn import (
 import jax
 import jax.numpy as jnp
 
-from uda_aerial_semantic_segmentation_research_tpu.models.resnet import build_encoder
+from uda_aerial_semantic_segmentation_research_tpu.models.resnet import (
+    build_encoder,
+    conv_policy,
+    tag_conv_out,
+)
 
 
 def _upsample2x(x):
@@ -149,11 +153,14 @@ class DecoderBlock(nn.Module):
 
         def conv3x3(y, name, cin):
             """3x3 SAME conv, lane-packed when this block qualifies
-            (parameter tree identical to the nn.Conv path)."""
+            (parameter tree identical to the nn.Conv path).  The output
+            is tagged as a remat save point (see resnet.CONV_SAVE_NAME)."""
             if pack and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0:
                 w = _Conv3x3Kernel(self.filters, cin, name=name)()
-                return conv3x3_packed(y, w.astype(self.dtype))
-            return conv(self.filters, (3, 3), name=name)(y)
+                out = conv3x3_packed(y, w.astype(self.dtype))
+            else:
+                out = conv(self.filters, (3, 3), name=name)(y)
+            return tag_conv_out(out)
 
         cup = x.shape[-1]
         cs = 0 if skip is None else skip.shape[-1]
@@ -171,6 +178,7 @@ class DecoderBlock(nn.Module):
                     y = y + jax.lax.conv_general_dilated(
                         sk, w1[:, :, cup:], (1, 1), "SAME",
                         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            y = tag_conv_out(y)
         else:
             y = _upsample2x(x)
             if skip is not None:
@@ -207,7 +215,7 @@ class UnetDecoder(nn.Module):
     # fuses all blocks via the single lhs_dilation=2 tap-folded conv
     # (ops/upsample_conv.upsample2x_conv3x3_dilated)
     fused: Any = False
-    remat: bool = False
+    remat: Any = False
     packed: bool = False
     pallas_eval: bool = False
 
@@ -219,8 +227,13 @@ class UnetDecoder(nn.Module):
         x = head.astype(self.dtype)
         # static_argnums counts the module itself as arg 0: (x, skip, train)
         # sit at (1, 2, 3) and only train is a static Python bool
-        block_cls = (nn.remat(DecoderBlock, static_argnums=(3,))
-                     if self.remat else DecoderBlock)
+        if self.remat == "convs":
+            block_cls = nn.remat(DecoderBlock, static_argnums=(3,),
+                                 policy=conv_policy())
+        elif self.remat:
+            block_cls = nn.remat(DecoderBlock, static_argnums=(3,))
+        else:
+            block_cls = DecoderBlock
         impl = "dilated" if self.fused == "dilated" else "phase"
         # trace-time tiny-shape gate: the dilated schedule is validated
         # on-chip at the production tile (block inputs 16-256px); runs
@@ -265,8 +278,20 @@ class Unet(nn.Module):
     # decoder blocks; "encoder"/"decoder" remat only that half (saving
     # the other half's activations buys back its recompute at the cost
     # of its saved-activation HBM -- phase 3's grad programs have ~4 GB
-    # of headroom under full remat at B=128, see BASELINE.md).  Same
-    # parameter tree either way, so checkpoints interchange freely.
+    # of headroom under full remat at B=128, see BASELINE.md).
+    # "convs" / "encoder_convs" / "decoder_convs" use the
+    # save-conv-outputs policy instead (resnet.conv_policy): backward
+    # recomputes only the elementwise BN/ReLU chain between saved conv
+    # outputs, not the convs themselves -- more saved HBM than plain
+    # block remat, near-zero recompute.  "stage1"/"stage12"/... remat
+    # only those encoder stages' blocks (minimum-recompute way to free
+    # the 256 MB/tensor high-resolution activations; ResNet encoders
+    # only).  All policy/stage modes are gradient-exact vs remat=False
+    # (tests/test_models.py::test_remat_gradients_exact) but exceed the
+    # 16 G chip at the production phase-3 shape -- see BASELINE.md r3s8
+    # for the measured map; they are the first knobs to turn on
+    # larger-HBM parts.  Same parameter tree in every mode, so
+    # checkpoints interchange freely.
     remat: Any = False
     # 2x2 lane packing for the low-channel decoder/head convs
     # (ops/packed_conv.py); numerically exact, same parameter tree
@@ -281,8 +306,21 @@ class Unet(nn.Module):
             # resolved at trace time; pure XLA either way, so both
             # resolutions are SPMD/mesh-safe (unlike the Pallas paths)
             fused = "dilated" if jax.default_backend() == "tpu" else False
-        enc_remat = self.remat is True or self.remat == "encoder"
-        dec_remat = self.remat is True or self.remat == "decoder"
+        if self.remat == "convs":
+            enc_remat = dec_remat = "convs"
+        elif self.remat == "encoder_convs":
+            enc_remat, dec_remat = "convs", False
+        elif self.remat == "decoder_convs":
+            enc_remat, dec_remat = False, "convs"
+        elif isinstance(self.remat, str) and self.remat.startswith("stage"):
+            # stage-granular encoder remat ("stage1", "stage12", ...):
+            # remat only those encoder stages' blocks, decoder untouched
+            # -- the minimum-recompute config that still frees the
+            # 256 MB/tensor high-resolution activations (BASELINE.md r3s8)
+            enc_remat, dec_remat = self.remat, False
+        else:
+            enc_remat = self.remat is True or self.remat == "encoder"
+            dec_remat = self.remat is True or self.remat == "decoder"
         self.encoder = build_encoder(self.encoder_name, self.in_channels,
                                      self.dtype, remat=enc_remat)
         self.decoder = UnetDecoder(self.decoder_channels, self.dtype,

@@ -643,10 +643,8 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
             k1, k2, k3 = jax.random.split(key, 3)
             v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
             v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
-            x0 = normalize_images(tgt_images)
             xs, ms = augment_batch(k3, sup_images, sup_masks, cfg=WEAK)
-            return (_view(v1), _view(v2), _view(x0, disc_dtype),
-                    _view(xs), ms)
+            return _view(v1), _view(v2), _view(xs), ms
     else:
         @jax.jit
         def prep(key, step, tgt_images):
@@ -654,8 +652,7 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
             k1, k2, _ = jax.random.split(key, 3)
             v1, _ = augment_batch(k1, tgt_images, None, cfg=aug_cfg)
             v2, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
-            x0 = normalize_images(tgt_images)
-            return _view(v1), _view(v2), _view(x0, disc_dtype)
+            return _view(v1), _view(v2)
 
     @jax.jit
     def fwd_view1(seg_params, seg_stats, v1):
@@ -685,8 +682,14 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
 
         return jax.grad(loss_fn)(seg_params)
 
-    @partial(jax.jit, donate_argnums=(2,))  # x0
-    def grad_disc(disc_params, disc_stats, x0, epoch):
+    @jax.jit
+    def grad_disc(disc_params, disc_stats, tgt_images, epoch):
+        # normalize INSIDE the program: the bf16 x0 buffer is a program
+        # temp instead of a 2x-larger cross-program carry that would
+        # otherwise stay live through the view-grad peaks (the raw uint8
+        # batch is resident either way, it is the step's input)
+        x0 = _view(normalize_images(tgt_images), disc_dtype)
+
         def loss_fn(dp):
             logits, dstats = _apply_train(disc_module, dp, disc_stats, x0,
                                           return_logits=True)
@@ -744,16 +747,19 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
                            seg_stats, disc_stats, domain_logits, epoch)
 
         def step(state, key, tgt_images, epoch, sup_images, sup_masks):
-            v1, v2, x0, xs, ms = prep(key, state.step, tgt_images,
-                                      sup_images, sup_masks)
+            v1, v2, xs, ms = prep(key, state.step, tgt_images,
+                                  sup_images, sup_masks)
+            # discriminator first: its buffers die before the view-grad
+            # HBM peaks (the binding constraint at full batch, r3s7)
+            gd, dom_v, disc_stats, dlogits = grad_disc(
+                state.params["disc"], state.batch_stats["disc"],
+                tgt_images, epoch)
             z1, stats1 = fwd_view1(state.params["seg"],
                                    state.batch_stats["seg"], v1)
             g2, cons_v, z2, stats2 = grad_view2(state.params["seg"], stats1,
                                                 epoch, v2, z1)
             g1 = grad_view1(state.params["seg"], state.batch_stats["seg"],
                             epoch, v1, z2)
-            gd, dom_v, disc_stats, dlogits = grad_disc(
-                state.params["disc"], state.batch_stats["disc"], x0, epoch)
             gs, sup_v, stats3 = grad_sup(state.params["seg"], stats2, xs, ms)
             return combine(state, g1, g2, gs, gd, cons_v, dom_v, sup_v,
                            stats3, disc_stats, dlogits, epoch)
@@ -771,15 +777,16 @@ def make_unsupervised_sequential_step(seg_module, disc_module, num_classes: int,
                            seg_stats, disc_stats, domain_logits, epoch)
 
         def step(state, key, tgt_images, epoch):
-            v1, v2, x0 = prep(key, state.step, tgt_images)
+            v1, v2 = prep(key, state.step, tgt_images)
+            gd, dom_v, disc_stats, dlogits = grad_disc(
+                state.params["disc"], state.batch_stats["disc"],
+                tgt_images, epoch)
             z1, stats1 = fwd_view1(state.params["seg"],
                                    state.batch_stats["seg"], v1)
             g2, cons_v, z2, stats2 = grad_view2(state.params["seg"], stats1,
                                                 epoch, v2, z1)
             g1 = grad_view1(state.params["seg"], state.batch_stats["seg"],
                             epoch, v1, z2)
-            gd, dom_v, disc_stats, dlogits = grad_disc(
-                state.params["disc"], state.batch_stats["disc"], x0, epoch)
             return combine(state, g1, g2, gd, cons_v, dom_v,
                            stats2, disc_stats, dlogits, epoch)
 
