@@ -22,6 +22,15 @@ import json
 import sys
 import time
 
+# Tuned libtpu compiler defaults (LIBTPU_INIT_ARGS) must be in the
+# environment before the first backend touch -- which here is the
+# device-init watchdog, NOT the package imports inside run_bench.
+from uda_aerial_semantic_segmentation_research_tpu.tpu_flags import (
+    apply_tuned_tpu_flags,
+)
+
+apply_tuned_tpu_flags()
+
 
 def _bf16_peak_flops(device_kind: str):
     """(peak bf16 FLOP/s per chip, matched label) from the device kind.

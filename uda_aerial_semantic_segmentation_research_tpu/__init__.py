@@ -21,6 +21,16 @@ Public surface mirrors the reference's ``python -m src.test_system`` CLI
 
 __version__ = "0.1.0"
 
+# tuned libtpu compiler defaults (LIBTPU_INIT_ARGS) -- must land in the
+# environment before the first JAX backend touch; importing the package
+# is the earliest hook every entry point shares.  User values win;
+# UDA_TPU_NO_TUNED_FLAGS=1 opts out.  See tpu_flags.py for the numbers.
+from uda_aerial_semantic_segmentation_research_tpu.tpu_flags import (
+    apply_tuned_tpu_flags as _apply_tuned_tpu_flags,
+)
+
+_apply_tuned_tpu_flags()
+
 from uda_aerial_semantic_segmentation_research_tpu.config import Config
 
 __all__ = ["Config", "__version__"]
