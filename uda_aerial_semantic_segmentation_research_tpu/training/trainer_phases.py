@@ -14,9 +14,9 @@ optimizer per phase:
                                confusion term, lr 1e-5, 20 epochs
 
 One traversal per domain, one backward pass, one optimizer -- no D/G
-alternation (SURVEY.md section 7).  Measured (r3s6, one v5e, B=128 @
-512px, resnet34, ``bench.py --mode grl``): 591.1 ms/step = 216.6
-tiles/s vs the two-optimizer image-disc path's 454.1 ms / 281.9 t/s --
+alternation (SURVEY.md section 7).  Measured (r3s9, one v5e, B=128 @
+512px, resnet34, ``bench.py --mode grl``): 570.0 ms/step = 224.6
+tiles/s vs the two-optimizer image-disc path's 434.4 ms / 294.7 t/s --
 the feature-level GRL discriminator rides a SECOND grad-bearing
 encoder pass (the target batch), which costs more than the image-level
 scheme's conv-cheap discriminator updates.  The schemes are not
