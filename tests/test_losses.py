@@ -17,6 +17,7 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
     ConsistencyLoss,
     DiceLoss,
     FineTuningLoss,
+    SMPDiceLoss,
     WeightedSegmentationLoss,
     calculate_class_weights,
     sigmoid_bce_with_logits,
@@ -84,6 +85,54 @@ def test_dice_loss_range_and_value():
     dice = (2 * inter + 1.0) / (union + 1.0)
     ref = float(1.0 - dice.mean())
     assert abs(loss - ref) < 1e-5
+
+
+def test_smp_dice_loss_matches_smp_formula():
+    """``SMPDiceLoss`` == smp.losses.DiceLoss(mode='multiclass') (the GRL
+    alt stack's seg criterion, reference uda.py:84): per-class batch+space
+    aggregation, smooth=0 with eps=1e-7 denominator clamp, absent classes
+    zeroed, mean over all C.  Golden: independent torch reimplementation
+    of the smp algorithm (smp itself is not installed here)."""
+    x, y = _logits(), _labels()
+    ours = float(SMPDiceLoss()(jnp.asarray(x), jnp.asarray(y)))
+
+    xt = torch.tensor(x).permute(0, 3, 1, 2)             # smp is NCHW
+    yt = torch.tensor(y)
+    n, c = xt.shape[0], xt.shape[1]
+    pred = xt.log_softmax(dim=1).exp().view(n, c, -1)    # (N, C, HW)
+    true = F.one_hot(yt.view(n, -1), c).permute(0, 2, 1).float()
+    dims = (0, 2)
+    inter = torch.sum(pred * true, dim=dims)
+    card = torch.sum(pred + true, dim=dims)
+    score = (2.0 * inter) / card.clamp_min(1e-7)
+    loss = (1.0 - score) * (true.sum(dim=dims) > 0).float()
+    ref = float(loss.mean())
+    assert abs(ours - ref) < 1e-6
+
+
+def test_smp_dice_absent_classes_zeroed_but_counted():
+    """Classes missing from the target contribute 0 loss yet stay in the
+    mean's denominator (smp zeroes via the y_true.sum mask)."""
+    y = np.zeros((B, H, W), np.int64)
+    y[:, :, : W // 2] = 1                                # only classes 0, 1
+    x = RNG.normal(size=(B, H, W, C)).astype(np.float32)
+    full = float(SMPDiceLoss()(jnp.asarray(x), jnp.asarray(y)))
+
+    # manual: per-class losses for 0 and 1 only, averaged over ALL C
+    probs = jax.nn.softmax(jnp.asarray(x), axis=-1)
+    onehot = jax.nn.one_hot(jnp.asarray(y), C)
+    inter = jnp.sum(probs * onehot, axis=(0, 1, 2))
+    card = jnp.sum(probs + onehot, axis=(0, 1, 2))
+    score = 2.0 * inter / jnp.maximum(card, 1e-7)
+    expected = float((2.0 - score[0] - score[1]) / C)
+    assert abs(full - expected) < 1e-6
+
+
+def test_smp_dice_perfect_prediction_near_zero():
+    y = _labels()
+    x = np.where(np.eye(C, dtype=bool)[y], 20.0, -20.0).astype(np.float32)
+    loss = float(SMPDiceLoss()(jnp.asarray(x), jnp.asarray(y)))
+    assert loss < 1e-4
 
 
 def test_dice_perfect_prediction_near_zero():

@@ -140,3 +140,120 @@ def test_multiphase_trainer_phases(workspace, loaders, tmp_path):
                             learning_rate=1e-5)
     assert np.isfinite(loss3)
     assert (tmp_path / "phase3_best.pth").exists()
+
+
+def test_multiphase_alt_stack_loss_semantics(workspace):
+    """The three reference loss semantics of the GRL alt stack
+    (VERDICT r3 item 2): phases 1-2 train with smp multiclass dice
+    (``UDALoss``, reference trainer_phases.py:54,109 + uda.py:84), the
+    phase-2 joint weight defaults to ``lambda_adv=0.001`` (uda.py:82),
+    and the phase-3 total is ``consistency + 0.1 * confusion``
+    (trainer_phases.py:251)."""
+    import jax
+
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import NONE
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        SMPDiceLoss,
+        sigmoid_bce_with_logits,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        MultiPhaseTrainer,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        steps as step_lib,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    tr = MultiPhaseTrainer(bundle, device="cpu")
+    assert tr.lambda_domain == 0.001
+    assert tr.confusion_weight == 0.1
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, CLASSES, (2, SIZE, SIZE)).astype(np.int32)
+    tgt = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    key = jax.random.key(0)
+
+    # phase-2 GRL step, seg_loss='dice' (the factory default): seg_loss
+    # metric must equal SMPDiceLoss on the step's own train-mode logits,
+    # and the total must assemble as dice + lambda * domain
+    state = tr._state(1e-3)
+    step = step_lib.make_grl_train_step(bundle.module, CLASSES,
+                                        lambda_domain=tr.lambda_domain,
+                                        aug_cfg=NONE)
+    _, m = step(state, key, images, masks, tgt, jnp.float32(1.0))
+    np.testing.assert_allclose(
+        float(m["loss"]),
+        float(m["seg_loss"]) + 0.001 * float(m["domain_loss"]), rtol=1e-5)
+    assert 0.0 <= float(m["seg_loss"]) <= 1.0   # dice range, not CE's ln(C)
+
+    # NONE aug + train-mode forward reproduces the step's seg logits;
+    # pin the dice value independently
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
+        augment_batch,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training.steps import (
+        _apply_train,
+    )
+
+    k1, _ = jax.random.split(jax.random.fold_in(key, 0))
+    xs, ms = augment_batch(k1, images, masks, cfg=NONE)
+    (seg, _), _ = _apply_train(bundle.module, bundle.params,
+                               bundle.batch_stats, xs,
+                               domain_adaptation=True,
+                               alpha=jnp.float32(1.0))
+    np.testing.assert_allclose(float(m["seg_loss"]),
+                               float(SMPDiceLoss()(seg, ms)), rtol=1e-5)
+
+    # 'ce' stays selectable and differs from dice
+    step_ce = step_lib.make_grl_train_step(bundle.module, CLASSES,
+                                           lambda_domain=tr.lambda_domain,
+                                           aug_cfg=NONE, seg_loss="ce")
+    state_ce = tr._state(1e-3)
+    _, m_ce = step_ce(state_ce, key, images, masks, tgt, jnp.float32(1.0))
+    assert abs(float(m_ce["seg_loss"]) - float(m["seg_loss"])) > 1e-6
+
+    # phase-3: total = consistency + 0.1 * confusion
+    state3 = tr._state(1e-5)
+    step3 = tr._phase3_step()
+    _, m3 = step3(state3, key, tgt)
+    np.testing.assert_allclose(
+        float(m3["loss"]),
+        float(m3["consistency"]) + 0.1 * float(m3["confusion"]), rtol=1e-5)
+
+
+def test_supervised_step_dice_option(workspace, tiny_model):
+    """``make_supervised_train_step(seg_loss='dice')`` trains with
+    SMPDiceLoss (MultiPhaseTrainer.phase1) and rejects invalid combos."""
+    import jax
+
+    from uda_aerial_semantic_segmentation_research_tpu.ops.augment import NONE
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        steps as step_lib,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training.state import (
+        TrainState,
+        adam,
+    )
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, 23, (2, SIZE, SIZE)).astype(np.int32)
+
+    step = step_lib.make_supervised_train_step(tiny_model.module, 23,
+                                               aug_cfg=NONE, seg_loss="dice")
+    state = TrainState.from_bundle(tiny_model, adam(1e-3))
+    state, m = step(state, jax.random.key(0), images, masks)
+    assert 0.0 <= float(m["loss"]) <= 1.0
+    assert np.isfinite(float(m["iou"]))
+
+    with pytest.raises(ValueError):
+        step_lib.make_supervised_train_step(tiny_model.module, 23,
+                                            seg_loss="dice", fused_ce=True)
+    with pytest.raises(ValueError):
+        step_lib.make_supervised_train_step(tiny_model.module, 23,
+                                            seg_loss="focal")

@@ -332,3 +332,48 @@ def test_scan_driver_matches_sequential(seg_bundle, batch, sup_step):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3),
         jax.device_get(state_a.params), jax.device_get(state_b.params))
+
+
+def test_grl_domain_only_gradient_exact():
+    """Skipping the target pass's decoder (``target_decoder_stats=False``,
+    the production default) must leave the parameter update bit-for-bit
+    intact: the target seg output is discarded by the GRL loss, so no
+    gradient ever flows through the decoder on that traversal.  Only
+    decoder BatchNorm EMAs may differ (they no longer see target
+    batches -- the documented divergence, PARITY.md)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, CLASSES, (2, SIZE, SIZE)).astype(np.int32)
+    tgt = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    key = jax.random.key(5)
+
+    results = {}
+    for stats_mode in (False, True):
+        step = step_lib.make_grl_train_step(
+            bundle.module, CLASSES, lambda_domain=0.001, aug_cfg=NONE,
+            target_decoder_stats=stats_mode)
+        state = TrainState.from_bundle(bundle, adam(1e-3))
+        results[stats_mode] = step(state, key, src, masks, tgt,
+                                   jnp.float32(1.0))
+
+    (fast_state, fast_m), (ref_state, ref_m) = results[False], results[True]
+    np.testing.assert_allclose(float(fast_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(fast_state.params),
+                    jax.tree.leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # stats pytree structure must be preserved so later steps don't
+    # retrace/restructure; decoder EMAs differ by design
+    assert (jax.tree.structure(fast_state.batch_stats)
+            == jax.tree.structure(ref_state.batch_stats))
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(fast_state.batch_stats),
+                             jax.tree.leaves(ref_state.batch_stats))]
+    assert max(diffs) > 0.0  # the divergence is real, and only in stats

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from uda_aerial_semantic_segmentation_research_tpu.models.resnet import encoder_out_channels
 from uda_aerial_semantic_segmentation_research_tpu.models.unet import Unet
 from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
-    DiceLoss,
+    SMPDiceLoss,
     sigmoid_bce_with_logits,
 )
 
@@ -117,9 +117,20 @@ class UDASegmentationModel(nn.Module):
             num_channels=bottleneck, dtype=self.dtype)
 
     def __call__(self, x, train: bool = False, domain_adaptation: bool = False,
-                 alpha: float = 1.0):
+                 alpha: float = 1.0, domain_only: bool = False):
+        """``domain_only=True`` skips the decoder: encoder -> GRL ->
+        domain head, returning ``(None, domain_logits)``.  For the
+        phase-2 target pass this is GRADIENT-EXACT (the target's seg
+        output is discarded by the loss, so no cotangent ever flows
+        through the decoder); the only divergence is that decoder
+        BatchNorm EMAs no longer see target batches (the reference's
+        train-mode forward updates them, trainer_phases.py:139 --
+        documented in PARITY.md).  It removes a full decoder forward at
+        feature map resolutions up to HxW, the GRL step's single
+        largest avoidable cost.
+        """
         features = self.net.encode(x, train=train)
-        seg = self.net.decode(features, train=train)
+        seg = None if domain_only else self.net.decode(features, train=train)
         if not domain_adaptation:
             return seg
         reversed_feat = gradient_reverse_layer(features[-1], alpha)
@@ -134,10 +145,17 @@ class UDASegmentationModel(nn.Module):
 # combined loss
 # ---------------------------------------------------------------------------
 class UDALoss:
-    """dice(seg, target) + lambda_adv * BCE(domain_logits, domain_target)."""
+    """dice(seg, target) + lambda_adv * BCE(domain_logits, domain_target).
+
+    The dice component is ``SMPDiceLoss`` -- the reference's ``UDALoss``
+    trains with ``smp.losses.DiceLoss(mode='multiclass')`` (reference
+    src/models/uda.py:84), whose per-class batch+space aggregation and
+    smooth=0/eps clamp differ from the reference's own ``DiceLoss``
+    class (see ops/losses.SMPDiceLoss).
+    """
 
     def __init__(self, lambda_adv: float = 0.001):
-        self.segmentation_loss = DiceLoss()
+        self.segmentation_loss = SMPDiceLoss()
         self.lambda_adv = float(lambda_adv)
 
     def __call__(self, pred, target, domain_pred=None, domain_target=None):

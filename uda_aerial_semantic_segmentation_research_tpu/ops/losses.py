@@ -159,6 +159,45 @@ class DiceLoss:
         return 1.0 - jnp.mean(dice)
 
 
+class SMPDiceLoss:
+    """``smp.losses.DiceLoss(mode='multiclass')`` semantics.
+
+    The reference's GRL alt stack trains its phases 1-2 with THIS dice,
+    not the reference's own ``DiceLoss`` class: ``UDALoss`` instantiates
+    ``smp.losses.DiceLoss(mode='multiclass')`` (reference
+    src/models/uda.py:84, used at src/models/trainer_phases.py:54,109).
+    Differences from ``DiceLoss`` above, mirrored exactly:
+
+    - intersection/cardinality aggregate over batch AND space PER CLASS
+      (smp ``dims=(0, 2)`` on (N, C, H*W)), not per (sample, class);
+    - ``smooth=0.0`` with an ``eps=1e-7`` clamp on the denominator
+      (smp ``soft_dice_score``: ``(2 i + smooth) / clamp_min(c + smooth,
+      eps)``), not smooth=1.0;
+    - classes ABSENT from the target contribute 0 loss (smp zeroes them
+      via ``y_true.sum(dims) > 0``) but still count in the mean over C.
+    """
+
+    def __init__(self, smooth: float = 0.0, eps: float = 1e-7):
+        self.smooth = float(smooth)
+        self.eps = float(eps)
+
+    def __call__(self, predictions, targets):
+        """``predictions``: (B, H, W, C) logits; ``targets``: (B, H, W) int
+        or (B, H, W, C) one-hot."""
+        num_classes = predictions.shape[-1]
+        probs = jax.nn.softmax(predictions.astype(jnp.float32), axis=-1)
+        if targets.ndim == predictions.ndim - 1:
+            targets = one_hot_nhwc(targets, num_classes)
+        targets = targets.astype(jnp.float32)
+        reduce_axes = tuple(range(predictions.ndim - 1))   # batch + space
+        intersection = jnp.sum(probs * targets, axis=reduce_axes)   # (C,)
+        cardinality = jnp.sum(probs + targets, axis=reduce_axes)    # (C,)
+        score = (2.0 * intersection + self.smooth) / jnp.maximum(
+            cardinality + self.smooth, self.eps)
+        present = (jnp.sum(targets, axis=reduce_axes) > 0).astype(jnp.float32)
+        return jnp.mean((1.0 - score) * present)
+
+
 # ---------------------------------------------------------------------------
 # weighted segmentation (reference src/models/losses.py:154-215)
 # ---------------------------------------------------------------------------

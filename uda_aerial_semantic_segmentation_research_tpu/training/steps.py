@@ -85,7 +85,8 @@ def _seg_metrics(logits, masks, num_classes: int):
 # ---------------------------------------------------------------------------
 def make_supervised_train_step(module, num_classes: int,
                                aug_cfg: AugmentConfig = WEAK,
-                               class_weights=None, fused_ce: bool = False):
+                               class_weights=None, fused_ce: bool = False,
+                               seg_loss: str = "ce"):
     """(state, key, uint8 images NHWC, int masks NHW) -> (state, metrics).
 
     ``fused_ce`` swaps the XLA cross-entropy for the Pallas fused kernel
@@ -93,10 +94,27 @@ def make_supervised_train_step(module, num_classes: int,
     forward, one read + one write backward, no f32 softmax/log-softmax
     materialization.  Numerically pinned to ``softmax_cross_entropy`` by
     tests/test_pallas.py; requires ``class_weights=None``.
+
+    ``seg_loss``: ``"ce"`` (softmax cross-entropy -- the active
+    generation, reference src/models/train.py:206) or ``"dice"``
+    (``SMPDiceLoss`` -- the GRL alt stack's phase-1 criterion,
+    ``UDALoss()`` = smp multiclass dice, reference
+    src/models/trainer_phases.py:54 + src/models/uda.py:84).
     """
+    if seg_loss not in ("ce", "dice"):
+        raise ValueError(f"seg_loss must be 'ce' or 'dice', got {seg_loss!r}")
     if fused_ce and class_weights is not None:
         raise ValueError("fused_ce does not support class_weights")
-    if fused_ce:
+    if seg_loss == "dice":
+        if fused_ce or class_weights is not None:
+            raise ValueError(
+                "seg_loss='dice' supports neither fused_ce nor class_weights")
+        from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+            SMPDiceLoss,
+        )
+
+        ce = SMPDiceLoss()
+    elif fused_ce:
         from uda_aerial_semantic_segmentation_research_tpu.ops.pallas_ops import (
             fused_cross_entropy,
         )
@@ -307,7 +325,8 @@ def _adv_g_update(adv, seg_module, disc_module, num_classes, seg_state,
 
 
 def make_grl_train_step(module, num_classes: int, lambda_domain: float = 1.0,
-                        aug_cfg: AugmentConfig = WEAK):
+                        aug_cfg: AugmentConfig = WEAK, seg_loss: str = "dice",
+                        target_decoder_stats: bool = False):
     """Single-pass GRL phase-2 update (reference trainer_phases.py:104-208).
 
     The alternative adversarial generation: ``module`` is a
@@ -322,11 +341,33 @@ def make_grl_train_step(module, num_classes: int, lambda_domain: float = 1.0,
     alpha) -> (state, metrics with loss/seg_loss/domain_loss/domain_acc
     + seg metrics).  ``alpha`` scales the reversed gradient (traced, so
     per-epoch ramping does not retrace).
+
+    ``seg_loss``: ``"dice"`` (default -- the reference's phase-2
+    criterion is ``UDALoss(lambda_adv=0.001)`` whose segmentation
+    component is smp multiclass dice, reference trainer_phases.py:109 +
+    uda.py:82-84; mirrored by ``SMPDiceLoss``) or ``"ce"`` (softmax
+    cross-entropy, kept selectable for ablation -- it was this factory's
+    default through round 3, so r3 GRL bench records measured CE).
+
+    ``target_decoder_stats``: the target traversal's decoder forward
+    contributes NOTHING to the gradient (its seg output is discarded by
+    the loss) -- only decoder BatchNorm EMAs.  Default False skips it
+    (``domain_only`` forward: encoder -> GRL -> domain head), removing
+    a full high-resolution decoder forward per step; gradients are
+    bit-identical (pinned by tests/test_training.py::
+    test_grl_domain_only_gradient_exact).  True restores the
+    reference's train-mode behavior where decoder EMAs also see target
+    batches (trainer_phases.py:139; divergence documented in PARITY.md).
     """
     from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        SMPDiceLoss,
         sigmoid_bce_with_logits,
     )
 
+    if seg_loss not in ("ce", "dice"):
+        raise ValueError(f"seg_loss must be 'ce' or 'dice', got {seg_loss!r}")
+    seg_loss_fn = (SMPDiceLoss() if seg_loss == "dice"
+                   else lambda logits, m: softmax_cross_entropy(logits, m))
     lam = lambda_domain
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -343,8 +384,9 @@ def make_grl_train_step(module, num_classes: int, lambda_domain: float = 1.0,
             variables = {"params": params, "batch_stats": stats}
             (_, d_tgt), mut = module.apply(
                 variables, xt, train=True, domain_adaptation=True,
-                alpha=alpha, mutable=["batch_stats"])
-            seg_loss = softmax_cross_entropy(seg, ms)
+                alpha=alpha, domain_only=not target_decoder_stats,
+                mutable=["batch_stats"])
+            seg_loss = seg_loss_fn(seg, ms)
             # GRL: the discriminator head is trained to classify
             # src=1 / tgt=0; the reversed gradient confuses the encoder
             domain_loss = (

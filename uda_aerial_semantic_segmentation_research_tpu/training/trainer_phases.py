@@ -5,13 +5,16 @@ alternative generation that trains ``UDASegmentationModel`` (feature-
 level discriminator behind a gradient-reversal layer) with a SINGLE
 optimizer per phase:
 
-- ``phase1_train`` (:49-102)   supervised segmentation, lr 1e-4, 50 epochs
-- ``phase2_train`` (:104-208)  joint ``seg + lambda * domain`` GRL loss,
+- ``phase1_train`` (:49-102)   supervised segmentation with smp
+                               multiclass dice (``UDALoss()``, :54),
+                               lr 1e-4, 50 epochs
+- ``phase2_train`` (:104-208)  joint ``dice + 0.001 * domain`` GRL loss
+                               (``UDALoss(lambda_adv=0.001)``, :109),
                                lr 5e-5, 30 epochs; model selection by
                                ``iou * domain_acc`` (:196)
 - ``phase3_train`` (:210-277)  MSE consistency between two strong views
-                               + ``-mean|sigmoid(domain) - 0.5|``
-                               confusion term, lr 1e-5, 20 epochs
+                               + ``0.1 * -mean|sigmoid(domain) - 0.5|``
+                               confusion term (:251), lr 1e-5, 20 epochs
 
 One traversal per domain, one backward pass, one optimizer -- no D/G
 alternation (SURVEY.md section 7).  Measured (r3s9, one v5e, B=128 @
@@ -66,13 +69,24 @@ class MultiPhaseTrainer:
     """Three-phase UDA training over a GRL model bundle."""
 
     def __init__(self, model, device=None, checkpoint_dir: str = "checkpoints",
-                 num_classes: Optional[int] = None, lambda_domain: float = 0.1,
+                 num_classes: Optional[int] = None,
+                 lambda_domain: float = 0.001,
+                 confusion_weight: float = 0.1,
                  log_dir: Optional[str] = None):
-        """``model``: ModelBundle of a UDASegmentationModel."""
+        """``model``: ModelBundle of a UDASegmentationModel.
+
+        ``lambda_domain`` defaults to the reference's phase-2 joint-loss
+        weight: ``UDALoss(lambda_adv=0.001)``, total = ``seg + 0.001 *
+        domain`` (reference trainer_phases.py:109 + uda.py:82).
+        ``confusion_weight`` is the reference's phase-3 domain-confusion
+        weight: total = ``consistency + 0.1 * confusion`` (reference
+        trainer_phases.py:251).
+        """
         self.model = model
         self.device = device or Config.get_device()
         self.num_classes = num_classes or Config.NUM_CLASSES
         self.lambda_domain = float(lambda_domain)
+        self.confusion_weight = float(confusion_weight)
         self.checkpoint_dir = Path(checkpoint_dir)
         self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
         self.logger = TensorboardLogger(log_dir=log_dir or Config.LOGS_DIR)
@@ -91,8 +105,10 @@ class MultiPhaseTrainer:
     # ------------------------------------------------------------------
     def _phase1_step(self):
         if "p1" not in self._steps:
+            # reference phase 1 trains with ``UDALoss()`` = smp multiclass
+            # dice (trainer_phases.py:54, uda.py:84), not cross-entropy
             self._steps["p1"] = step_lib.make_supervised_train_step(
-                self.model.module, self.num_classes)
+                self.model.module, self.num_classes, seg_loss="dice")
         return self._steps["p1"]
 
     def _phase2_step(self):
@@ -106,6 +122,7 @@ class MultiPhaseTrainer:
         if "p3" in self._steps:
             return self._steps["p3"]
         module = self.model.module
+        confusion_weight = self.confusion_weight
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, key, tgt_images):
@@ -125,11 +142,16 @@ class MultiPhaseTrainer:
                     mutable=["batch_stats"])
                 consistency = jnp.mean(
                     (p1.astype(jnp.float32) - p2.astype(jnp.float32)) ** 2)
-                # push sigmoid(domain) toward 0.5 (max confusion),
-                # reference trainer_phases.py:248
+                # push sigmoid(domain) toward 0.5 (max confusion).  The
+                # reference computes |domain_pred - 0.5| on RAW logits
+                # (trainer_phases.py:248; its feature discriminator has
+                # no sigmoid, uda.py:8-28) -- a silent bug that anchors
+                # logits at +0.5; we squash first (divergence documented
+                # in PARITY.md).  The 0.1 weight is the reference's
+                # (trainer_phases.py:251).
                 confusion = -jnp.mean(
                     jnp.abs(jax.nn.sigmoid(d_logits) - 0.5))
-                total = consistency + confusion
+                total = consistency + confusion_weight * confusion
                 return total, (consistency, confusion, mut["batch_stats"])
 
             (total, (consistency, confusion, stats)), grads = (
