@@ -9,7 +9,11 @@ MPI anywhere -- SURVEY.md section 2.2).  Scaling here is TPU-native:
   SPMD partitioner inserts the gradient all-reduce (``psum``) and the
   cross-chip BatchNorm moment reduction over ICI automatically,
 - eval confusion-matrix histograms add elementwise, so distributed
-  eval is the same step function under the same mesh.
+  eval is the same step function under the same mesh,
+- beyond one host (v5e-16+): one process per host, stitched into the
+  same global mesh by ``parallel.distributed`` (jax.distributed init,
+  per-process dataset shards, ``make_array_from_process_local_data``
+  batch assembly, process-0 checkpoint/log writes).
 """
 
 from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
@@ -27,6 +31,10 @@ from uda_aerial_semantic_segmentation_research_tpu.parallel.spatial import (
     spatial_mesh,
 )
 
+from uda_aerial_semantic_segmentation_research_tpu.parallel import (  # noqa: F401
+    distributed,
+)
+
 __all__ = [
     "create_mesh",
     "default_mesh",
@@ -37,4 +45,5 @@ __all__ = [
     "spatial_mesh",
     "spatial_image_sharding",
     "spatial_forward",
+    "distributed",
 ]

@@ -44,13 +44,32 @@ def _build_loaders(batch_size: int):
         source, [train_size, len(source) - train_size], seed=Config.SEED)
     sampler = source.get_sampler(indices=train_ds.indices)
 
-    train_loader = DataLoader(train_ds, batch_size=batch_size, sampler=sampler,
-                              drop_last=True, num_workers=Config.NUM_WORKERS)
-    val_loader = DataLoader(val_ds, batch_size=batch_size)
-
     target = TargetDataset(images_dir=Config.TARGET_DATA_DIR,
                            target_size=(Config.IMAGE_SIZE, Config.IMAGE_SIZE),
                            verbose=False)
+
+    # multi-host: every process builds the SAME deterministic split, then
+    # loads only its contiguous shard; batch_size is per process (the
+    # global batch is batch_size * process_count, assembled by the
+    # trainers via distributed.global_batch)
+    from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+        distributed as dist,
+    )
+
+    if dist.process_count() > 1:
+        from uda_aerial_semantic_segmentation_research_tpu.data.dataset import (
+            Subset,
+        )
+
+        pos = dist.process_shard_indices(len(train_ds.indices))
+        shard_indices = [train_ds.indices[i] for i in pos]
+        train_ds = Subset(source, shard_indices)
+        sampler = source.get_sampler(indices=shard_indices)
+        target = dist.shard_dataset(target)
+
+    train_loader = DataLoader(train_ds, batch_size=batch_size, sampler=sampler,
+                              drop_last=True, num_workers=Config.NUM_WORKERS)
+    val_loader = DataLoader(val_ds, batch_size=batch_size)
     target_loader = DataLoader(target, batch_size=batch_size, shuffle=True,
                                drop_last=True, num_workers=Config.NUM_WORKERS)
     return train_loader, val_loader, target_loader
@@ -187,6 +206,14 @@ def run_pipeline(
 
 if __name__ == "__main__":
     import argparse
+
+    from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+        distributed as _dist,
+    )
+
+    # env-gated multi-host entry (UDA_TPU_MULTIHOST / UDA_TPU_COORDINATOR);
+    # must run before the first device touch, no-op single-process
+    _dist.initialize()
 
     p = argparse.ArgumentParser(description="Three-phase UDA pipeline")
     p.add_argument("--phase1-epochs", type=int, default=30)

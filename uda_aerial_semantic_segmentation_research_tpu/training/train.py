@@ -238,18 +238,25 @@ class SegmentationTrainer:
         P('data') and the SAME jitted step runs SPMD (gradient psum +
         cross-replica BatchNorm inserted by the partitioner).
         """
+        from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+            distributed as dist,
+        )
         from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
             default_mesh,
-            replicate,
         )
 
         ndev = jax.device_count()
+        # multi-host: the loader feeds PER-PROCESS batches, so the batch
+        # must divide this process's local devices (global batch =
+        # bs * process_count divides the global mesh by construction)
+        local_ndev = jax.local_device_count()
         bs = getattr(dataloader, "batch_size", None)
-        if ndev > 1 and bs and bs % ndev == 0:
+        if ndev > 1 and bs and bs % local_ndev == 0:
             self._mesh = default_mesh()
-            print(f"Data-parallel mesh engaged: {ndev} devices, "
-                  f"{bs // ndev} samples/device")
-            return replicate(state, self._mesh)
+            print(f"Data-parallel mesh engaged: {ndev} devices over "
+                  f"{dist.process_count()} process(es), "
+                  f"{bs // local_ndev} samples/device")
+            return dist.replicate_global(state, self._mesh)
         self._mesh = None
         return state
 
@@ -260,15 +267,15 @@ class SegmentationTrainer:
         if self._mesh is None:
             return tuple(jax.device_put(a) if a is not None else None
                          for a in arrays)
-        n = self._mesh.devices.size
-        if any(a is not None and a.shape[0] % n for a in arrays):
-            return arrays
-        from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
-            shard_batch,
+        from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+            distributed as dist,
         )
 
-        return tuple(shard_batch(a, self._mesh) if a is not None else None
-                     for a in arrays)
+        n = dist.local_mesh_device_count(self._mesh)
+        if any(a is not None and a.shape[0] % n for a in arrays):
+            return arrays
+        return tuple(dist.global_batch(a, self._mesh) if a is not None
+                     else None for a in arrays)
 
     def _build_steps(self):
         if self._train_step is None:
@@ -573,7 +580,11 @@ def train_model(epochs: Optional[int] = None, learning_rate: Optional[float] = N
     )
     from uda_aerial_semantic_segmentation_research_tpu.data.loader import DataLoader
     from uda_aerial_semantic_segmentation_research_tpu.models import create_unet  # noqa: F401
+    from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+        distributed as dist,
+    )
 
+    dist.initialize()  # env-gated multi-host entry; no-op single-process
     epochs = epochs or Config.NUM_EPOCHS
     learning_rate = learning_rate or Config.LEARNING_RATE
     batch_size = batch_size or Config.BATCH_SIZE

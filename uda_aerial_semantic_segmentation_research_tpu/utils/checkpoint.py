@@ -42,7 +42,19 @@ def _to_numpy(obj: Any) -> Any:
 
 
 def save_checkpoint(obj: Any, path: str | os.PathLike) -> None:
-    """Atomically pickle ``obj`` (arrays converted to numpy) to ``path``."""
+    """Atomically pickle ``obj`` (arrays converted to numpy) to ``path``.
+
+    Multi-host: only process 0 writes (training state is replicated, so
+    every process holds the same values; N identical writers racing on a
+    shared filesystem would be wasted IO at best).  Single-process runs
+    are unaffected — the topology probe never initializes a backend.
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+        is_primary,
+    )
+
+    if not is_primary():
+        return
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = _to_numpy(obj)

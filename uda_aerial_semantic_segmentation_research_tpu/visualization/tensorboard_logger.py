@@ -89,11 +89,21 @@ class TensorboardLogger:
     """Writes scalars/images/figures/histograms/text to a timestamped run dir."""
 
     def __init__(self, log_dir: str = "logs"):
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+            is_primary,
+        )
+
         timestamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S-%f")
         self.log_dir = Path(log_dir) / timestamp
-        self.log_dir.mkdir(parents=True, exist_ok=True)
-        self.writer = EventFileWriter(str(self.log_dir))
-        self._closed = False
+        # multi-host: only process 0 writes events (metrics are computed
+        # on replicated global values, so every process would log the
+        # same streams); non-primary loggers accept calls and drop them
+        self._closed = not is_primary()
+        if not self._closed:
+            self.log_dir.mkdir(parents=True, exist_ok=True)
+            self.writer = EventFileWriter(str(self.log_dir))
+        else:
+            self.writer = None
 
     # ------------------------------------------------------------------
     def _emit(self, summary: Summary, step: int):
