@@ -139,7 +139,12 @@ def run_bench(tile: int = 512, batch_candidates=(128, 64, 32, 16, 8),
         # --encoder resnet50 for that flavor)
         uda = create_uda_model(encoder_name=encoder, classes=classes,
                                image_size=tile)
-        grl = step_lib.make_grl_train_step(uda.module, classes)
+        # sequential decomposition = production default (r4: 484.8 ms vs
+        # the fused step's 541.5 at B=128 @ 512px -- splitting the two
+        # grad-bearing traversals into their own programs removes the
+        # fused program's silent HLO remat; gradient-equivalence pinned
+        # by tests/test_training.py::test_grl_sequential_matches_fused)
+        grl = step_lib.make_grl_sequential_step(uda.module, classes)
         bundle = uda  # state built from the UDA bundle below
 
         def grl_step(state, key, images, masks):

@@ -377,3 +377,40 @@ def test_grl_domain_only_gradient_exact():
              for a, b in zip(jax.tree.leaves(fast_state.batch_stats),
                              jax.tree.leaves(ref_state.batch_stats))]
     assert max(diffs) > 0.0  # the divergence is real, and only in stats
+
+
+def test_grl_sequential_matches_fused():
+    """The 3-program GRL decomposition computes the fused step's exact
+    update (the loss is additive across the two traversals; BN stat
+    chaining src -> tgt preserved)."""
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    masks = rng.integers(0, CLASSES, (2, SIZE, SIZE)).astype(np.int32)
+    tgt = rng.integers(0, 255, (2, SIZE, SIZE, 3)).astype(np.uint8)
+    key = jax.random.key(9)
+    kw = dict(lambda_domain=0.001, aug_cfg=NONE)
+
+    fused = step_lib.make_grl_train_step(bundle.module, CLASSES, **kw)
+    seq = step_lib.make_grl_sequential_step(bundle.module, CLASSES, **kw)
+
+    s1 = TrainState.from_bundle(bundle, adam(1e-3))
+    s2 = TrainState.from_bundle(bundle, adam(1e-3))
+    s1, m1 = fused(s1, key, src, masks, tgt, jnp.float32(1.0))
+    s2, m2 = seq(s2, key, src, masks, tgt, jnp.float32(1.0))
+
+    for name in ("loss", "seg_loss", "domain_loss", "domain_acc", "iou"):
+        np.testing.assert_allclose(float(m1[name]), float(m2[name]),
+                                   rtol=1e-5, atol=1e-7, err_msg=name)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.batch_stats),
+                    jax.tree.leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -10,6 +10,9 @@ Variants isolate the r4 levers on `steps.make_grl_train_step`
              the dice-vs-CE cost from the decoder skip)
 - ce_stats:  seg_loss='ce' + stats     (the exact r3 benched step —
              continuity control vs BASELINE r3s9's 570.0 ms)
+- seq:       3-program sequential decomposition of base (additive-loss
+             split; peak HBM = one traversal's fwd+bwd)
+- seq_ce:    sequential + seg_loss='ce'
 """
 import sys, time
 import jax, jax.numpy as jnp, numpy as np
@@ -25,8 +28,11 @@ VARIANTS = {
     "stats": dict(seg_loss="dice", target_decoder_stats=True),
     "ce": dict(seg_loss="ce", target_decoder_stats=False),
     "ce_stats": dict(seg_loss="ce", target_decoder_stats=True),
+    "seq": dict(seg_loss="dice", target_decoder_stats=False, seq=True),
+    "seq_ce": dict(seg_loss="ce", target_decoder_stats=False, seq=True),
 }
-v = VARIANTS[name]
+v = dict(VARIANTS[name])
+SEQ = v.pop("seq", False)
 rng = np.random.default_rng(0)
 src = jnp.asarray(rng.integers(0, 255, (B, TILE, TILE, 3)).astype(np.uint8))
 masks = jnp.asarray(rng.integers(0, CLASSES, (B, TILE, TILE)).astype(np.int32))
@@ -34,8 +40,9 @@ tgt = src[::-1]
 key = jax.random.key(0)
 uda = create_uda_model(encoder_name="resnet34", classes=CLASSES,
                        image_size=TILE)
-step = step_lib.make_grl_train_step(uda.module, CLASSES,
-                                    lambda_domain=0.001, **v)
+factory = (step_lib.make_grl_sequential_step if SEQ
+           else step_lib.make_grl_train_step)
+step = factory(uda.module, CLASSES, lambda_domain=0.001, **v)
 state = TrainState.from_bundle(uda, adam(1e-4))
 alpha = jnp.float32(1.0)
 t0 = time.perf_counter()

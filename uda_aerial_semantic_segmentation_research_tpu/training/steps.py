@@ -409,6 +409,110 @@ def make_grl_train_step(module, num_classes: int, lambda_domain: float = 1.0,
     return step
 
 
+def make_grl_sequential_step(module, num_classes: int,
+                             lambda_domain: float = 1.0,
+                             aug_cfg: AugmentConfig = WEAK,
+                             seg_loss: str = "dice",
+                             target_decoder_stats: bool = False):
+    """Memory-decomposed GRL update: same gradients as
+    ``make_grl_train_step``, dispatched as three XLA programs.
+
+    The joint GRL loss is ADDITIVE across the two traversals:
+    ``total = seg(src) + lam/2 * bce(d_src, 1) + lam/2 * bce(d_tgt, 0)``
+    with no term coupling source and target activations, so
+    ``grad(total) = grad(src terms) + grad(tgt terms)`` exactly -- each
+    partial backward runs in its own program and peak HBM is ONE
+    traversal's forward+backward instead of two (the fused program's
+    two grad-bearing live sets are what pushes it into XLA's silent HLO
+    rematerializer at B=128 @ 512px, cf. the phase-2 profile,
+    BASELINE.md r3s9).  BatchNorm stat chaining (src -> tgt, matching
+    the fused step) is preserved by threading the source pass's output
+    stats into the target program.  Equivalence is pinned by
+    tests/test_training.py::test_grl_sequential_matches_fused.
+
+    Same contract as the fused step: (state, key, src images, src
+    masks, tgt images, alpha) -> (state, metrics).
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        SMPDiceLoss,
+        sigmoid_bce_with_logits,
+    )
+
+    if seg_loss not in ("ce", "dice"):
+        raise ValueError(f"seg_loss must be 'ce' or 'dice', got {seg_loss!r}")
+    seg_loss_fn = (SMPDiceLoss() if seg_loss == "dice"
+                   else lambda logits, m: softmax_cross_entropy(logits, m))
+    lam = lambda_domain
+    dtype = getattr(module, "dtype", None)
+
+    def _view(x):
+        return x.astype(dtype) if dtype is not None else x
+
+    @jax.jit
+    def prep(key, step, src_images, src_masks, tgt_images):
+        key = jax.random.fold_in(key, step)
+        k1, k2 = jax.random.split(key)
+        xs, ms = augment_batch(k1, src_images, src_masks, cfg=aug_cfg)
+        xt, _ = augment_batch(k2, tgt_images, None, cfg=aug_cfg)
+        return _view(xs), ms, _view(xt)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def src_prog(params, batch_stats, xs, ms, alpha):
+        def loss_fn(p):
+            (seg, d_src), stats = _apply_train(
+                module, p, batch_stats, xs, domain_adaptation=True,
+                alpha=alpha)
+            sl = seg_loss_fn(seg, ms)
+            dl_src = sigmoid_bce_with_logits(d_src, jnp.ones_like(d_src))
+            return sl + (lam / 2.0) * dl_src, (seg, d_src, stats, sl, dl_src)
+
+        (_, (seg, d_src, stats1, sl, dl_src)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        m = _seg_metrics(seg, ms, num_classes)
+        src_acc = jnp.mean((d_src >= 0).astype(jnp.float32))
+        return (g, stats1, jax.lax.stop_gradient(sl),
+                jax.lax.stop_gradient(dl_src), src_acc, m)
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def tgt_prog(params, stats1, xt, alpha):
+        def loss_fn(p):
+            (_, d_tgt), stats2 = _apply_train(
+                module, p, stats1, xt, domain_adaptation=True, alpha=alpha,
+                domain_only=not target_decoder_stats)
+            dl_tgt = sigmoid_bce_with_logits(d_tgt, jnp.zeros_like(d_tgt))
+            return (lam / 2.0) * dl_tgt, (d_tgt, stats2, dl_tgt)
+
+        (_, (d_tgt, stats2, dl_tgt)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        tgt_acc = jnp.mean((d_tgt < 0).astype(jnp.float32))
+        return g, stats2, jax.lax.stop_gradient(dl_tgt), tgt_acc
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def combine(state, g_src, g_tgt, stats2, sl, dl_src, dl_tgt,
+                src_acc, tgt_acc, m):
+        grads = jax.tree.map(jnp.add, g_src, g_tgt)
+        state = state.apply_gradients(grads, batch_stats=stats2)
+        domain_loss = (dl_src + dl_tgt) / 2.0
+        m = dict(m)
+        m.update({"loss": sl + lam * domain_loss, "seg_loss": sl,
+                  "domain_loss": domain_loss,
+                  "domain_acc": 0.5 * (src_acc + tgt_acc)})
+        return state, m
+
+    def step(state, key, src_images, src_masks, tgt_images, alpha):
+        xs, ms, xt = prep(key, state.step, src_images, src_masks, tgt_images)
+        g_src, stats1, sl, dl_src, src_acc, m = src_prog(
+            state.params, state.batch_stats, xs, ms, alpha)
+        g_tgt, stats2, dl_tgt, tgt_acc = tgt_prog(state.params, stats1, xt,
+                                                  alpha)
+        return combine(state, g_src, g_tgt, stats2, sl, dl_src, dl_tgt,
+                       src_acc, tgt_acc, m)
+
+    step.programs = {"prep": prep, "src_prog": src_prog,
+                     "tgt_prog": tgt_prog, "combine": combine}
+    return step
+
+
 def make_adversarial_sequential_step(seg_module, disc_module,
                                      num_classes: int,
                                      lambda_adv: float = 0.001,

@@ -17,11 +17,14 @@ optimizer per phase:
                                confusion term (:251), lr 1e-5, 20 epochs
 
 One traversal per domain, one backward pass, one optimizer -- no D/G
-alternation (SURVEY.md section 7).  Measured (r3s9, one v5e, B=128 @
-512px, resnet34, ``bench.py --mode grl``): 570.0 ms/step = 224.6
-tiles/s vs the two-optimizer image-disc path's 434.4 ms / 294.7 t/s --
-the feature-level GRL discriminator rides a SECOND grad-bearing
-encoder pass (the target batch), which costs more than the image-level
+alternation (SURVEY.md section 7).  Measured (r4s1, one v5e, B=128 @
+512px, resnet34, ``bench.py --mode grl``): 484.8 ms/step = 264.0
+tiles/s with the production sequential step (r3's fused-CE step ran
+570.0 ms; the r4 gains: gradient-exact target decoder skip + the
+3-program sequential decomposition, BASELINE.md r4s1) vs the
+two-optimizer image-disc path's 434.4 ms / 294.7 t/s -- the
+feature-level GRL discriminator rides a SECOND grad-bearing encoder
+pass (the target batch), which costs more than the image-level
 scheme's conv-cheap discriminator updates.  The schemes are not
 substitutes: only the GRL path propagates an adversarial gradient into
 the encoder (the image-disc generator term has zero generator gradient,
@@ -113,7 +116,12 @@ class MultiPhaseTrainer:
 
     def _phase2_step(self):
         if "p2" not in self._steps:
-            self._steps["p2"] = step_lib.make_grl_train_step(
+            # sequential 3-program decomposition: gradient-identical to
+            # the fused step (tests/test_training.py) and faster at the
+            # bench shape (484.8 vs 541.5 ms, BASELINE.md r4s1 -- the
+            # fused program's two grad-bearing traversals trip XLA's
+            # silent HLO rematerializer)
+            self._steps["p2"] = step_lib.make_grl_sequential_step(
                 self.model.module, self.num_classes,
                 lambda_domain=self.lambda_domain)
         return self._steps["p2"]
