@@ -40,7 +40,10 @@ def main() -> None:
     env.update({
         "UDA_TPU_IMAGE_SIZE": "512",
         "UDA_TPU_BATCH_SIZE": "128",
-        "PYTHONPATH": str(REPO),
+        # APPEND the repo (keep the axon sitecustomize path: replacing
+        # PYTHONPATH wholesale deregisters the TPU plugin)
+        "PYTHONPATH": str(REPO) + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""),
     })
 
     gen = (
