@@ -288,6 +288,22 @@ def test_grl_step_matches_single_device():
                                    atol=1e-5, rtol=1e-4)
     assert jax.tree.leaves(s8.params)[0].sharding.is_fully_replicated
 
+    # the PRODUCTION sequential decomposition under the same mesh: the
+    # cross-program carries (augmented views sharded, grads/stats
+    # replicated) must preserve the single-device update too
+    seq = step_lib.make_grl_sequential_step(bundle.module, CLASSES,
+                                            aug_cfg=NONE)
+    sq1, q1 = seq(fresh(), key, src, msk, tgt, alpha)
+    sq8, q8 = seq(replicate(fresh(), mesh), k8, shard_batch(src, mesh),
+                  shard_batch(msk, mesh), shard_batch(tgt, mesh), alpha)
+    for name in ("loss", "seg_loss", "domain_loss", "domain_acc"):
+        assert abs(float(q1[name]) - float(q8[name])) < 1e-4, name
+    for p1, p8 in zip(jax.tree.leaves(sq1.params),
+                      jax.tree.leaves(sq8.params)):
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p8),
+                                   atol=1e-5, rtol=1e-4)
+    assert jax.tree.leaves(sq8.params)[0].sharding.is_fully_replicated
+
 
 def test_unsupervised_step_matches_single_device(seg_bundle, disc_bundle):
     """8-way sharded phase-3 step == single-device: dict-pytree params
