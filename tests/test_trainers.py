@@ -257,3 +257,47 @@ def test_supervised_step_dice_option(workspace, tiny_model):
     with pytest.raises(ValueError):
         step_lib.make_supervised_train_step(tiny_model.module, 23,
                                             seg_loss="focal")
+
+
+def test_multiphase_mesh_engagement(workspace):
+    """The alt trainer auto-engages the data mesh like the active-path
+    trainers (batch divides local devices -> state replicated, batches
+    sharded P('data'); otherwise pass-through)."""
+    import jax
+
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_uda_model,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.training import (
+        MultiPhaseTrainer,
+    )
+
+    bundle = create_uda_model(encoder_name="resnet18", classes=CLASSES,
+                              image_size=SIZE, dtype=jnp.float32)
+    tr = MultiPhaseTrainer(bundle, device="cpu")
+
+    class Loader:
+        batch_size = jax.local_device_count()
+
+    state = tr._engage_mesh(Loader(), tr._state(1e-3))
+    assert tr._mesh is not None
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+
+    n = jax.local_device_count()
+    imgs = np.zeros((n, SIZE, SIZE, 3), np.uint8)
+    msks = np.zeros((n, SIZE, SIZE), np.int32)
+    p_imgs, p_msks = tr._place(imgs, msks)
+    assert not p_imgs.sharding.is_fully_replicated  # sharded on batch
+    assert p_imgs.sharding.shard_shape(p_imgs.shape)[0] == 1
+
+    # trailing batch that doesn't divide the mesh passes through
+    odd = np.zeros((n + 1, SIZE, SIZE, 3), np.uint8)
+    assert tr._place(odd) is odd
+
+    class Tiny:
+        batch_size = 1 if jax.local_device_count() > 1 else None
+
+    tr2 = MultiPhaseTrainer(bundle, device="cpu")
+    s2 = tr2._engage_mesh(Tiny(), tr2._state(1e-3))
+    assert tr2._mesh is None
+    assert tr2._place(imgs) is imgs

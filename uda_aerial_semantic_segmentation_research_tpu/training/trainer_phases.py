@@ -104,6 +104,42 @@ class MultiPhaseTrainer:
         return TrainState.from_bundle(self.model, adam(lr))
 
     # ------------------------------------------------------------------
+    # data-parallel mesh (same auto-engage contract as
+    # SegmentationTrainer._setup_mesh/_place, train.py)
+    # ------------------------------------------------------------------
+    def _engage_mesh(self, loader, state) -> TrainState:
+        """Replicate state over the mesh when >1 device and the
+        per-process batch divides the local devices; no-op otherwise."""
+        from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+            distributed as dist,
+        )
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.mesh import (
+            default_mesh,
+        )
+
+        ndev = jax.device_count()
+        bs = getattr(loader, "batch_size", None)
+        if ndev > 1 and bs and bs % jax.local_device_count() == 0:
+            self._mesh = default_mesh()
+            return dist.replicate_global(state, self._mesh)
+        self._mesh = None
+        return state
+
+    def _place(self, *arrays):
+        if getattr(self, "_mesh", None) is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+            distributed as dist,
+        )
+
+        n = dist.local_mesh_device_count(self._mesh)
+        if any(a is not None and a.shape[0] % n for a in arrays):
+            return arrays if len(arrays) > 1 else arrays[0]
+        out = tuple(dist.global_batch(a, self._mesh) if a is not None
+                    else None for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    # ------------------------------------------------------------------
     # jitted step builders (cached per phase)
     # ------------------------------------------------------------------
     def _phase1_step(self):
@@ -189,11 +225,12 @@ class MultiPhaseTrainer:
                      learning_rate: float = 1e-4, patience: int = 7):
         step = self._phase1_step()
         eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
-        state = self._state(learning_rate)
+        state = self._engage_mesh(train_loader, self._state(learning_rate))
         best_iou, counter = -1.0, 0
 
         for epoch in range(1, epochs + 1):
             for images, masks in _raw_batches(train_loader):
+                images, masks = self._place(images, masks)
                 state, m = step(state, self._next_key(), images, masks)
             val = self._validate_phase1(val_loader, state, eval_step)
             self._log_metrics(val, epoch, "phase1/val")
@@ -227,7 +264,7 @@ class MultiPhaseTrainer:
                      patience: int = 7, alpha: float = 1.0):
         step = self._phase2_step()
         eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
-        state = self._state(learning_rate)
+        state = self._engage_mesh(source_loader, self._state(learning_rate))
         best_score, counter = -1.0, 0
         target_iter = _cycle_raw(target_loader)
 
@@ -239,6 +276,8 @@ class MultiPhaseTrainer:
                 if tgt_images.shape[0] != b:
                     reps = -(-b // tgt_images.shape[0])
                     tgt_images = np.concatenate([tgt_images] * reps)[:b]
+                src_images, src_masks, tgt_images = self._place(
+                    src_images, src_masks, tgt_images)
                 state, m = step(state, self._next_key(), src_images, src_masks,
                                 tgt_images, jnp.float32(alpha))
                 domain_accs.append(float(m["domain_acc"]))
@@ -269,12 +308,13 @@ class MultiPhaseTrainer:
     def phase3_train(self, target_loader, val_loader=None, epochs: int = 20,
                      learning_rate: float = 1e-5):
         step = self._phase3_step()
-        state = self._state(learning_rate)
+        state = self._engage_mesh(target_loader, self._state(learning_rate))
         last_loss = 0.0
         for epoch in range(1, epochs + 1):
             losses = []
             for tgt_images, _ in _raw_batches(target_loader):
-                state, m = step(state, self._next_key(), tgt_images)
+                state, m = step(state, self._next_key(),
+                                self._place(tgt_images))
                 losses.append(float(m["loss"]))
             last_loss = float(np.mean(losses)) if losses else 0.0
             self._log_metrics({"loss": last_loss}, epoch, "phase3/train")
