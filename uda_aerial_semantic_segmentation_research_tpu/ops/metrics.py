@@ -166,8 +166,12 @@ class DomainAdaptationMetrics:
         self.update_confusion_metrics(source_features, target_features, both)
 
     def update_domain_accuracy(self, source_pred, target_pred):
-        sp = np.asarray(jax.device_get(source_pred)).reshape(-1)
-        tp = np.asarray(jax.device_get(target_pred)).reshape(-1)
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+            host_array,
+        )
+
+        sp = host_array(source_pred).reshape(-1)
+        tp = host_array(target_pred).reshape(-1)
         self.source_correct += int((sp >= 0.5).sum())
         self.source_total += sp.size
         self.target_correct += int((tp < 0.5).sum())
@@ -175,14 +179,18 @@ class DomainAdaptationMetrics:
 
     def update_confusion_metrics(self, source_features, target_features,
                                  domain_predictions):
-        probs = np.asarray(jax.device_get(domain_predictions)).reshape(-1)
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+            host_array,
+        )
+
+        probs = host_array(domain_predictions).reshape(-1)
         probs = np.clip(probs, 0.0, 1.0)
         ent = -probs * np.log(probs + 1e-10) - (1 - probs) * np.log(1 - probs + 1e-10)
         self.domain_entropy_sum += float(ent.mean())
 
         if source_features is not None and target_features is not None:
-            sf = np.asarray(jax.device_get(source_features))
-            tf = np.asarray(jax.device_get(target_features))
+            sf = host_array(source_features)
+            tf = host_array(target_features)
             s = sf.mean(axis=0).reshape(-1)
             t = tf.mean(axis=0).reshape(-1)
             s = s / max(np.linalg.norm(s), 1e-12)

@@ -254,6 +254,27 @@ def replicate_global(tree, mesh=None):
     return jax.tree.map(put, tree)
 
 
+def host_array(a):
+    """The full numpy value of ``a``, available on EVERY process.
+
+    Plain ``np.asarray`` when single-process, replicated, or fully
+    addressable; for process-sharded global arrays (e.g. per-batch
+    discriminator probabilities feeding a host-side streaming
+    accumulator) this all-gathers across processes so every host sees
+    the whole batch — keeping accumulators identical everywhere, which
+    the no-collective validation design relies on.
+    """
+    import numpy as np
+
+    if not hasattr(a, "sharding") or process_count() == 1:
+        return np.asarray(a)
+    if a.sharding.is_fully_replicated or a.is_fully_addressable:
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
 def barrier(name: str = "uda_tpu_barrier") -> None:
     """Block until every process reaches this point (no-op single-proc)."""
     if process_count() == 1:
@@ -273,9 +294,10 @@ def _worker_main(argv) -> None:
     """Entry for one dryrun process (spawned by :func:`dryrun_multihost`).
 
     Usage: python -m ...parallel.distributed worker <coord> <nprocs> <pid>
-           <devices_per_proc> <global_batch> <out_dir>
+           <devices_per_proc> <global_batch> <out_dir> [mode]
     """
-    coord, nprocs, pid, dev_per_proc, global_b, out_dir = argv
+    coord, nprocs, pid, dev_per_proc, global_b, out_dir = argv[:6]
+    mode = argv[6] if len(argv) > 6 else "step"
     nprocs, pid = int(nprocs), int(pid)
     dev_per_proc, global_b = int(dev_per_proc), int(global_b)
 
@@ -301,18 +323,48 @@ def _worker_main(argv) -> None:
     assert jax.process_count() == nprocs
     assert jax.device_count() == nprocs * dev_per_proc
 
-    state, metrics = _equivalence_step(global_b)
+    if mode == "pipeline":
+        _pipeline_worker(global_b, out_dir)
+    else:
+        state, metrics = _equivalence_step(global_b)
+        if is_primary():
+            from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
+                save_checkpoint,
+            )
 
-    if is_primary():
-        from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
-            save_checkpoint,
-        )
-
-        save_checkpoint(
-            {"params": state.params, "loss": float(metrics["loss"]),
-             "iou": float(metrics["iou"])},
-            os.path.join(out_dir, "multihost_result.pth"))
+            save_checkpoint(
+                {"params": state.params, "loss": float(metrics["loss"]),
+                 "iou": float(metrics["iou"])},
+                os.path.join(out_dir, "multihost_result.pth"))
     barrier("dryrun_done")
+
+
+def _pipeline_worker(global_b: int, out_dir: str) -> None:
+    """Run the FULL three-phase pipeline (1 epoch/phase, tiny shapes)
+    across the distributed topology: per-process dataset shards, mesh-
+    engaged trainers over the global device set, full val on every
+    process, process-0 checkpoint/metadata/TB writes.  Uses the repo's
+    synthetic fixtures (cwd must be the repo root)."""
+    import json
+
+    os.environ["UDA_TPU_IMAGE_SIZE"] = "32"
+    os.environ["UDA_TPU_ENCODER"] = "resnet18"
+    # per-process batch = local device count (1 sample/device)
+    import jax
+
+    os.environ["UDA_TPU_BATCH_SIZE"] = str(jax.local_device_count())
+
+    from uda_aerial_semantic_segmentation_research_tpu.training.pipeline import (
+        run_pipeline,
+    )
+
+    summary = run_pipeline(phase1_epochs=1, phase2_epochs=1, phase3_epochs=1,
+                           force_transitions=True,
+                           checkpoints_dir=os.path.join(out_dir, "ckpt"))
+    if is_primary():
+        with open(os.path.join(out_dir, "multihost_pipeline.json"), "w") as f:
+            json.dump({"final_phase": summary.get("final_phase"),
+                       "phases": sorted(summary.get("phases", {}))}, f)
 
 
 def _equivalence_step(global_b: int):
@@ -363,10 +415,16 @@ def _equivalence_step(global_b: int):
 
 def dryrun_multihost(num_processes: int = 2, devices_per_process: int = 4,
                      global_batch_size: int = 8, out_dir: Optional[str] = None,
-                     timeout: float = 600.0) -> dict:
-    """Spawn ``num_processes`` coordinated localhost CPU processes, run one
-    data-parallel supervised step over the global mesh, and return process
-    0's result dict (``params``/``loss``/``iou``) for equivalence checks.
+                     timeout: float = 600.0, mode: str = "step") -> dict:
+    """Spawn ``num_processes`` coordinated localhost CPU processes and run
+    distributed work over the global mesh.
+
+    ``mode="step"`` (default): one data-parallel supervised step; returns
+    process 0's ``{params, loss, iou}`` for equivalence checks.
+    ``mode="pipeline"``: the full three-phase pipeline at tiny shapes
+    (1 epoch/phase, repo fixtures; run from the repo root) — per-process
+    dataset shards, mesh-engaged trainers, process-0 writes; returns
+    process 0's ``{final_phase, phases}`` summary.
     """
     import socket
     import subprocess
@@ -390,7 +448,7 @@ def dryrun_multihost(num_processes: int = 2, devices_per_process: int = 4,
         subprocess.Popen(
             [sys.executable, "-m", _WORKER_ENTRY, "worker", coord,
              str(num_processes), str(pid), str(devices_per_process),
-             str(global_batch_size), out_dir],
+             str(global_batch_size), out_dir, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for pid in range(num_processes)
@@ -407,9 +465,15 @@ def dryrun_multihost(num_processes: int = 2, devices_per_process: int = 4,
     for p, out in zip(procs, outputs):
         if p.returncode != 0:
             raise RuntimeError(
-                f"multihost worker {p.args[-3]} failed "
-                f"(rc={p.returncode}):\n{out[-4000:]}")
-    result = load_checkpoint(os.path.join(out_dir, "multihost_result.pth"))
+                f"multihost worker failed (rc={p.returncode}):\n"
+                f"{out[-4000:]}")
+    if mode == "pipeline":
+        import json
+
+        with open(os.path.join(out_dir, "multihost_pipeline.json")) as f:
+            result = json.load(f)
+    else:
+        result = load_checkpoint(os.path.join(out_dir, "multihost_result.pth"))
     if own_dir:
         import shutil
 
@@ -422,6 +486,11 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "worker":
         _worker_main(sys.argv[2:])
+    elif len(sys.argv) > 1 and sys.argv[1] == "pipeline":
+        res = dryrun_multihost(mode="pipeline", timeout=1500.0)
+        print(f"dryrun_multihost(2x4, pipeline): "
+              f"final_phase={res['final_phase']} "
+              f"phases={res['phases']} — OK")
     else:
         res = dryrun_multihost()
         print(f"dryrun_multihost(2x4): loss={res['loss']:.4f} "

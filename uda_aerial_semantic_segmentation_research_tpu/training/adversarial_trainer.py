@@ -147,6 +147,11 @@ class AdversarialTrainer(SegmentationTrainer):
         params = state.seg.params if state is not None else self.model.params
         stats = (state.seg.batch_stats if state is not None
                  else self.model.batch_stats)
+        from uda_aerial_semantic_segmentation_research_tpu.training.train import (
+            _local_eval_variables,
+        )
+
+        params, stats = _local_eval_variables(params, stats)
 
         total_loss, ious, accs, n = 0.0, [], [], 0
         for images, masks in _raw_batches(dataloader):

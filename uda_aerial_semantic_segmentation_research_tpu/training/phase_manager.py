@@ -129,6 +129,15 @@ class PhaseManager:
         })
 
     def _save_metadata(self, metadata: Dict[str, Any]):
+        # multi-host: metadata follows the checkpoint-ownership rule --
+        # process 0 writes, others keep their in-memory copy (metrics
+        # are computed on replicated values, so the copies agree)
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+            is_primary,
+        )
+
+        if not is_primary():
+            return
         with open(self.metadata_path, "w") as f:
             json.dump(metadata, f, indent=4)
 

@@ -167,6 +167,27 @@ class EarlyStopping:
         return rates
 
 
+def _local_eval_variables(params, batch_stats):
+    """Make (params, stats) usable in PER-PROCESS validation jits.
+
+    Multi-host design: validation loaders are NOT process-sharded —
+    every process evaluates the FULL val set so control-flow decisions
+    (early stopping, best-checkpoint selection, gate checks) agree on
+    all hosts without any collective.  But global replicated arrays
+    cannot mix with process-local batch arrays inside one jit, so pull
+    a host copy once per validation pass (replicated arrays are
+    host-readable on every process).  Single-process: pass-through.
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+        process_count,
+    )
+
+    if process_count() == 1:
+        return params, batch_stats
+    return (jax.tree.map(np.asarray, params),
+            jax.tree.map(np.asarray, batch_stats))
+
+
 def _raw_batches(dataloader, place=None, depth: int = 2):
     """Yield raw (uint8 images NHWC, int masks NHW) batches.
 
@@ -449,7 +470,16 @@ class SegmentationTrainer:
                                global_step)
         self.logger.log_scalar("train/learning_rate", self._lr, global_step)
 
-        if batch_idx % Config.LOG_INTERVAL == 0:
+        from uda_aerial_semantic_segmentation_research_tpu.parallel.distributed import (
+            process_count,
+        )
+
+        # multi-host: train batches are process-sharded global arrays
+        # whose single-image slices are not host-materializable on every
+        # process -- skip the train-time FIGURE logging (scalars above
+        # still flow; validation figures remain, its batches stay
+        # host-resident)
+        if batch_idx % Config.LOG_INTERVAL == 0 and process_count() == 1:
             logits = self._predict_step(state.params, state.batch_stats,
                                         images[:1])
             self._log_predictions(images[0], masks[0], logits[0],
@@ -474,6 +504,7 @@ class SegmentationTrainer:
         'iou_epoch' as the exact histogram-based value)."""
         params = state.params if state is not None else self.model.params
         stats = state.batch_stats if state is not None else self.model.batch_stats
+        params, stats = _local_eval_variables(params, stats)
         self._build_steps()
 
         total_loss, per_batch_iou, per_batch_acc, n = 0.0, [], [], 0

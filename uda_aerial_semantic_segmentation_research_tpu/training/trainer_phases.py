@@ -246,9 +246,14 @@ class MultiPhaseTrainer:
         return best_iou
 
     def _validate_phase1(self, val_loader, state, eval_step) -> Dict[str, float]:
+        from uda_aerial_semantic_segmentation_research_tpu.training.train import (
+            _local_eval_variables,
+        )
+
+        params, stats = _local_eval_variables(state.params, state.batch_stats)
         ious, accs, losses = [], [], []
         for images, masks in _raw_batches(val_loader):
-            m = eval_step(state.params, state.batch_stats, images, masks)
+            m = eval_step(params, stats, images, masks)
             ious.append(float(m["iou"]))
             accs.append(float(m["accuracy"]))
             losses.append(float(m["loss"]))

@@ -256,6 +256,11 @@ class UnsupervisedTrainer(SegmentationTrainer):
         params = (state.params["seg"] if state is not None else self.model.params)
         stats = (state.batch_stats["seg"] if state is not None
                  else self.model.batch_stats)
+        from uda_aerial_semantic_segmentation_research_tpu.training.train import (
+            _local_eval_variables,
+        )
+
+        params, stats = _local_eval_variables(params, stats)
 
         total_iou, accs, losses, n = 0.0, [], [], 0
         metrics: Dict[str, float] = {}
