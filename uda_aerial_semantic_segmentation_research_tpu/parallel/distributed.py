@@ -28,8 +28,11 @@ Verification without a multi-host slice: ``dryrun_multihost()`` spawns
 N coordinated CPU processes on localhost (each with a virtual device
 count), runs the real supervised train step over the global mesh, and
 asserts the resulting params/loss match a single-process run of the
-identical global batch bit-for-bit — the N-process == 1-process
-gradient-equivalence contract (tests/test_distributed.py).
+identical global batch to within a fraction of one optimizer update
+(the cross-process psum only reassociates the float reduction) — the
+N-process == 1-process gradient-equivalence contract
+(tests/test_distributed.py); ``mode="pipeline"`` drives the full
+three-phase pipeline across the processes.
 """
 
 from __future__ import annotations
@@ -49,6 +52,7 @@ __all__ = [
     "local_mesh_device_count",
     "global_batch",
     "replicate_global",
+    "host_array",
     "barrier",
     "dryrun_multihost",
 ]
