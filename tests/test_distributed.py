@@ -88,6 +88,9 @@ def test_two_process_step_matches_single_process(tmp_path):
                                    global_batch_size=8,
                                    out_dir=str(tmp_path))
     assert np.isfinite(result["loss"])
+    # height-sharded forward whose halo exchanges cross the process
+    # boundary reproduced the unsharded forward on every process
+    assert result["spatial_ok"] is True
 
     state, metrics = dist._equivalence_step(8)  # this process: 8 devices
     assert abs(float(metrics["loss"]) - result["loss"]) < 1e-5

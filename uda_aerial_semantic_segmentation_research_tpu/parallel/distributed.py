@@ -331,6 +331,7 @@ def _worker_main(argv) -> None:
         _pipeline_worker(global_b, out_dir)
     else:
         state, metrics = _equivalence_step(global_b)
+        spatial_ok = _spatial_check()
         if is_primary():
             from uda_aerial_semantic_segmentation_research_tpu.utils.checkpoint import (
                 save_checkpoint,
@@ -338,9 +339,40 @@ def _worker_main(argv) -> None:
 
             save_checkpoint(
                 {"params": state.params, "loss": float(metrics["loss"]),
-                 "iou": float(metrics["iou"])},
+                 "iou": float(metrics["iou"]), "spatial_ok": spatial_ok},
                 os.path.join(out_dir, "multihost_result.pth"))
     barrier("dryrun_done")
+
+
+def _spatial_check() -> bool:
+    """Height-sharded forward with the SPACE axis spanning ALL processes:
+    the conv halo exchanges (boundary rows) cross the host boundary.
+    Every process computes the unsharded reference locally and compares
+    against the all-gathered sharded output."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uda_aerial_semantic_segmentation_research_tpu.models import (
+        create_unet,
+    )
+    from uda_aerial_semantic_segmentation_research_tpu.parallel.spatial import (
+        spatial_forward,
+        spatial_mesh,
+    )
+
+    size, classes = 32, 7
+    bundle = create_unet(encoder_name="resnet18", encoder_weights=None,
+                         classes=classes, image_size=size, seed=0,
+                         dtype=jnp.float32)
+    mesh = spatial_mesh(1, jax.device_count())   # height across every host
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, (2, size, size, 3)).astype(np.float32)
+    ref = np.asarray(bundle.module.apply(bundle.variables, jnp.asarray(x),
+                                         train=False))
+    out = host_array(spatial_forward(bundle.module, bundle.variables, x, mesh))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    return True
 
 
 def _pipeline_worker(global_b: int, out_dir: str) -> None:

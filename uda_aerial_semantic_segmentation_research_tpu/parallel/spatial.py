@@ -71,11 +71,31 @@ def spatial_forward(module, variables, images, mesh: Mesh,
         module = module.clone(fused_decoder=False)
     img_sharding = spatial_image_sharding(mesh)
     rep = NamedSharding(mesh, P())
-    x = jax.device_put(images, img_sharding)
-    v = jax.tree.map(lambda a: jax.device_put(a, rep), variables)
+    x = _global_put(images, img_sharding)
+    v = jax.tree.map(lambda a: _global_put(a, rep), variables)
 
     @jax.jit
     def fwd(v, x):
         return module.apply(v, x, train=train)
 
     return fwd(v, x)
+
+
+def _global_put(a, sharding):
+    """Place a host value under ``sharding``, multi-process safe.
+
+    Single-process: plain ``device_put``.  Multi-process (a mesh
+    spanning hosts, where ``device_put`` cannot address remote
+    devices): every process passes the SAME full host value and each
+    materializes only its addressable shards via
+    ``make_array_from_callback`` — boundary-row halo exchanges then
+    ride the cross-host links at run time.  Already-global arrays pass
+    through untouched.
+    """
+    if hasattr(a, "sharding") and not getattr(a, "is_fully_addressable", True):
+        return a
+    if len({d.process_index for d in sharding.mesh.devices.flat}) == 1:
+        return jax.device_put(a, sharding)
+    arr = np.asarray(a)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
