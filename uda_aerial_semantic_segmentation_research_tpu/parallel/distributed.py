@@ -455,8 +455,9 @@ def dryrun_multihost(num_processes: int = 2, devices_per_process: int = 4,
     """Spawn ``num_processes`` coordinated localhost CPU processes and run
     distributed work over the global mesh.
 
-    ``mode="step"`` (default): one data-parallel supervised step; returns
-    process 0's ``{params, loss, iou}`` for equivalence checks.
+    ``mode="step"`` (default): one data-parallel supervised step plus a
+    cross-host height-sharded forward check; returns process 0's
+    ``{params, loss, iou, spatial_ok}`` for equivalence checks.
     ``mode="pipeline"``: the full three-phase pipeline at tiny shapes
     (1 epoch/phase, repo fixtures; run from the repo root) — per-process
     dataset shards, mesh-engaged trainers, process-0 writes; returns
