@@ -55,6 +55,62 @@ def test_process_shard_indices_partition():
 
 
 @pytest.mark.smoke
+def test_process_shard_indices_even():
+    """even=True: every shard the same length (num_items // count), the
+    remainder dropped — per-process batches-per-epoch identical under
+    drop_last (the mid-epoch distributed-hang fix, ADVICE round 4)."""
+    for n, count in [(10, 2), (11, 4), (63, 2), (3, 4), (8, 1)]:
+        shards = [dist.process_shard_indices(n, index=i, count=count,
+                                             even=True)
+                  for i in range(count)]
+        sizes = {len(s) for s in shards}
+        assert sizes == {n // count}
+        covered = [i for s in shards for i in s]
+        assert covered == list(range(count * (n // count)))
+    # the ADVICE repro: 63 items, 2 processes, batch 16 with drop_last
+    # gave 2 vs 1 batches on ragged shards; even shards give 1 and 1
+    sizes = [len(dist.process_shard_indices(63, index=i, count=2, even=True))
+             for i in range(2)]
+    assert [s // 16 for s in sizes] == [1, 1]
+
+
+@pytest.mark.smoke
+def test_align_local_batch():
+    """Trailing-batch alignment: trim to a multiple of n, or cycle-pad
+    up to n when the batch is smaller than n; None passes through."""
+    imgs = np.arange(7 * 2).reshape(7, 2)
+    masks = np.arange(7)
+    out_i, out_m = dist.align_local_batch(4, (imgs, masks))
+    assert out_i.shape[0] == 4 and out_m.shape[0] == 4
+    np.testing.assert_array_equal(out_i, imgs[:4])
+    (out_i,) = dist.align_local_batch(4, (np.arange(3 * 2).reshape(3, 2),))
+    assert out_i.shape[0] == 4
+    np.testing.assert_array_equal(out_i[3], out_i[0])  # cycled pad
+    out_i, out_none = dist.align_local_batch(2, (imgs, None))
+    assert out_none is None and out_i.shape[0] == 6
+    # already divisible: unchanged objects
+    a = np.arange(8)
+    assert dist.align_local_batch(4, (a,))[0] is a
+
+
+@pytest.mark.smoke
+def test_tree_fingerprint_detects_divergence():
+    """The replicate_global cross-process identity digest: identical
+    trees agree; one flipped element or dtype/shape change differs."""
+    tree = {"w": np.arange(6, dtype=np.float32).reshape(2, 3),
+            "b": np.zeros(3, np.float32)}
+    same = {"w": tree["w"].copy(), "b": tree["b"].copy()}
+    np.testing.assert_array_equal(dist._tree_fingerprint(tree),
+                                  dist._tree_fingerprint(same))
+    diff = {"w": tree["w"].copy(), "b": tree["b"].copy()}
+    diff["w"][0, 0] += 1e-3
+    assert (dist._tree_fingerprint(tree) != dist._tree_fingerprint(diff)).any()
+    recast = {"w": tree["w"].astype(np.float64), "b": tree["b"].copy()}
+    assert (dist._tree_fingerprint(tree)
+            != dist._tree_fingerprint(recast)).any()
+
+
+@pytest.mark.smoke
 def test_shard_dataset_single_process_identity():
     class DS:
         def __len__(self):

@@ -49,6 +49,7 @@ __all__ = [
     "local_batch_size",
     "process_shard_indices",
     "shard_dataset",
+    "align_local_batch",
     "local_mesh_device_count",
     "global_batch",
     "replicate_global",
@@ -147,31 +148,76 @@ def local_batch_size(global_batch_size: int) -> int:
 
 def process_shard_indices(num_items: int,
                           index: Optional[int] = None,
-                          count: Optional[int] = None) -> range:
+                          count: Optional[int] = None,
+                          even: bool = False) -> range:
     """Contiguous index range of a dataset that THIS process loads.
 
     Every process must see the same ``num_items``; shards are contiguous
-    (tile caches stay local) and cover the dataset exactly, with the
-    first ``num_items % count`` processes taking one extra item.
+    (tile caches stay local).  Two modes:
+
+    - ``even=False``: shards cover the dataset exactly, with the first
+      ``num_items % count`` processes taking one extra item.  Use for
+      work that tolerates ragged per-process lengths (offline scans).
+    - ``even=True``: every shard is exactly ``num_items // count`` items
+      (the trailing remainder is dropped — DistributedSampler-style even
+      division).  **Training loaders must use this**: with ragged shards
+      and ``drop_last`` a process whose one-extra-item shard crosses a
+      batch-size multiple would run one more SPMD step per epoch than
+      its peers — a mid-epoch distributed hang (the collective the other
+      processes never join).  Equal shard lengths make every process's
+      batches-per-epoch identical by construction.
     """
     index = process_index() if index is None else index
     count = process_count() if count is None else count
     base, extra = divmod(num_items, count)
+    if even:
+        start = index * base
+        return range(start, start + base)
     start = index * base + min(index, extra)
     return range(start, start + base + (1 if index < extra else 0))
 
 
 def shard_dataset(dataset, index: Optional[int] = None,
-                  count: Optional[int] = None):
-    """This process's contiguous ``Subset`` view of ``dataset``."""
+                  count: Optional[int] = None, even: bool = False):
+    """This process's contiguous ``Subset`` view of ``dataset``.
+
+    ``even=True`` equalizes shard lengths across processes (required for
+    training loaders — see :func:`process_shard_indices`).
+    """
     from uda_aerial_semantic_segmentation_research_tpu.data.dataset import (
         Subset,
     )
 
-    idx = process_shard_indices(len(dataset), index, count)
+    idx = process_shard_indices(len(dataset), index, count, even=even)
     if len(idx) == len(dataset):
         return dataset
     return Subset(dataset, list(idx))
+
+
+def align_local_batch(n: int, arrays):
+    """Make every array's leading dim a positive multiple of ``n``.
+
+    Multi-process trailing-batch handling for the trainers' ``_place``:
+    a ragged local batch cannot fall back to host numpy there (mixing
+    locally-committed inputs with non-addressable global state fails
+    with an incompatible-devices error), so align it — trim ``b`` to
+    ``n * (b // n)`` rows, or, when ``b < n``, pad by cycling rows up to
+    ``n`` (a slightly oversampled final batch beats dropping it).  With
+    even dataset shards (``shard_dataset(even=True)``) every process
+    sees the same loader length and batch shapes, so this alignment is
+    identical everywhere and no process skips a collective.
+    """
+    import numpy as np
+
+    b = next(a.shape[0] for a in arrays if a is not None)
+    if b % n == 0:
+        return arrays
+    if b >= n:
+        keep = n * (b // n)
+        return type(arrays)(a[:keep] if a is not None else None
+                            for a in arrays)
+    idx = np.arange(n) % b
+    return type(arrays)(a[idx] if a is not None else None for a in arrays)
 
 
 def local_mesh_device_count(mesh) -> int:
@@ -220,13 +266,39 @@ def global_batch(arrays, mesh=None):
     return put(arrays)
 
 
+def _tree_fingerprint(tree):
+    """Per-leaf crc32 digest (bytes + shape + dtype) as a uint32 vector.
+
+    Cheap cross-process identity check: bitwise-identical host trees
+    (same seed init, same checkpoint) produce identical digests; any
+    divergent leaf flips its crc.  PRNG-key leaves digest their
+    underlying uint32 key data.
+    """
+    import zlib
+
+    import jax
+    import numpy as np
+
+    def digest(a):
+        if hasattr(a, "dtype") and jax.dtypes.issubdtype(
+                a.dtype, jax.dtypes.prng_key):
+            a = jax.random.key_data(a)
+        a = np.ascontiguousarray(np.asarray(a))
+        meta = f"{a.shape}:{a.dtype}".encode()
+        return np.uint32(zlib.crc32(a.tobytes(), zlib.crc32(meta)))
+
+    return np.asarray([digest(a) for a in jax.tree.leaves(tree)])
+
+
 def replicate_global(tree, mesh=None):
     """Replicate a host-resident pytree across ALL processes' devices.
 
     Every process must hold an identical copy of ``tree`` (e.g. params
     initialized from the same seed, or a checkpoint loaded everywhere);
     this is asserted cheaply via a cross-process fingerprint when the
-    runtime is distributed.  ``jax.device_put`` can only address local
+    runtime is distributed (per-leaf crc32 compared through
+    ``multihost_utils.assert_equal``; set ``UDA_TPU_SKIP_REPLICA_CHECK=1``
+    to opt out).  ``jax.device_put`` can only address local
     devices, so the multi-process path builds each global array from a
     callback that serves every addressable shard the full host value.
     """
@@ -239,6 +311,15 @@ def replicate_global(tree, mesh=None):
 
     import jax
     import numpy as np
+
+    if os.environ.get("UDA_TPU_SKIP_REPLICA_CHECK") != "1":
+        from jax.experimental import multihost_utils
+
+        multihost_utils.assert_equal(
+            _tree_fingerprint(tree),
+            "replicate_global: host trees differ across processes "
+            "(divergent init/checkpoint state — every process must hold "
+            "an identical copy before replication)")
 
     mesh = mesh or mesh_lib.default_mesh()
     sharding = mesh_lib.replicated_sharding(mesh)

@@ -61,11 +61,16 @@ def _build_loaders(batch_size: int):
             Subset,
         )
 
-        pos = dist.process_shard_indices(len(train_ds.indices))
+        # even=True: every process's shard has the SAME length, so every
+        # process runs the SAME number of drop_last batches per epoch —
+        # a ragged (+1-item) shard crossing a batch-size multiple would
+        # dispatch one extra global SPMD step its peers never join (a
+        # mid-epoch distributed hang; ADVICE round 4)
+        pos = dist.process_shard_indices(len(train_ds.indices), even=True)
         shard_indices = [train_ds.indices[i] for i in pos]
         train_ds = Subset(source, shard_indices)
         sampler = source.get_sampler(indices=shard_indices)
-        target = dist.shard_dataset(target)
+        target = dist.shard_dataset(target, even=True)
 
     train_loader = DataLoader(train_ds, batch_size=batch_size, sampler=sampler,
                               drop_last=True, num_workers=Config.NUM_WORKERS)

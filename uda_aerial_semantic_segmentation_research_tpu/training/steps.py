@@ -175,14 +175,36 @@ def make_scan_driver(step, unroll: int = 1):
     return multi
 
 
-def make_eval_step(module, num_classes: int, class_weights=None):
-    """(variables, uint8 images, masks) -> metrics (loss/iou/acc/hist)."""
+def make_eval_step(module, num_classes: int, class_weights=None,
+                   seg_loss: str = "ce"):
+    """(variables, uint8 images, masks) -> metrics (loss/iou/acc/hist).
+
+    ``seg_loss``: ``"ce"`` (the active generation's val criterion,
+    reference src/models/train.py:391-438) or ``"dice"`` — the GRL alt
+    stack validates phases 1-2 with the SAME ``UDALoss`` smp dice it
+    trains with and early-stops on that val loss (reference
+    src/models/trainer_phases.py:56,279-289), so its logged val-loss
+    stream must be on the dice scale (ADVICE round 4).
+    """
+    if seg_loss not in ("ce", "dice"):
+        raise ValueError(f"seg_loss must be 'ce' or 'dice', got {seg_loss!r}")
+    if seg_loss == "dice":
+        if class_weights is not None:
+            raise ValueError("seg_loss='dice' does not support class_weights")
+        from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+            SMPDiceLoss,
+        )
+
+        loss_fn = SMPDiceLoss()
+    else:
+        def loss_fn(logits, m):
+            return softmax_cross_entropy(logits, m, class_weights)
 
     @jax.jit
     def step(params, batch_stats, images, masks):
         x = normalize_images(images)
         logits = _apply_eval(module, params, batch_stats, x)
-        loss = softmax_cross_entropy(logits, masks.astype(jnp.int32), class_weights)
+        loss = loss_fn(logits, masks.astype(jnp.int32))
         metrics = _seg_metrics(logits, masks.astype(jnp.int32), num_classes)
         metrics["loss"] = loss
         return metrics
@@ -510,6 +532,62 @@ def make_grl_sequential_step(module, num_classes: int,
 
     step.programs = {"prep": prep, "src_prog": src_prog,
                      "tgt_prog": tgt_prog, "combine": combine}
+    return step
+
+
+def make_grl_eval_step(module, num_classes: int, lambda_domain: float = 0.001,
+                       seg_loss: str = "dice"):
+    """Phase-2 validation step for the GRL alt stack (reference
+    ``_validate_phase2``, trainer_phases.py:305-369).
+
+    The reference scores phase-2 validation with the full
+    ``UDALoss(lambda_adv=0.001)`` over source AND target val batches:
+    ``val_loss = dice(seg_src) + 0.001 * (bce(d_src, 1) + bce(d_tgt, 0)) / 2``,
+    plus val iou/accuracy on the source segmentation and a val
+    ``domain_acc`` (logit-sign classification over both domains) — and
+    its model-selection score is ``val_iou * val_domain_acc``
+    (trainer_phases.py:196-199), so the val-side domain accuracy is
+    load-bearing, not just logged.
+
+    (params, batch_stats, uint8 src images, src masks NHW, uint8 tgt
+    images) -> metrics with loss/seg_loss/domain_loss/domain_acc + seg
+    metrics.  Eval mode throughout (no BN stat updates); the target
+    traversal runs ``domain_only`` — its decoder output is unused and
+    eval mode makes the skip exactly free of side effects.
+    """
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        SMPDiceLoss,
+        sigmoid_bce_with_logits,
+    )
+
+    if seg_loss not in ("ce", "dice"):
+        raise ValueError(f"seg_loss must be 'ce' or 'dice', got {seg_loss!r}")
+    seg_loss_fn = (SMPDiceLoss() if seg_loss == "dice"
+                   else lambda logits, m: softmax_cross_entropy(logits, m))
+    lam = lambda_domain
+    one = jnp.float32(1.0)
+
+    @jax.jit
+    def step(params, batch_stats, src_images, src_masks, tgt_images):
+        xs = normalize_images(src_images)
+        xt = normalize_images(tgt_images)
+        seg, d_src = _apply_eval(module, params, batch_stats, xs,
+                                 domain_adaptation=True, alpha=one)
+        _, d_tgt = _apply_eval(module, params, batch_stats, xt,
+                               domain_adaptation=True, alpha=one,
+                               domain_only=True)
+        ms = src_masks.astype(jnp.int32)
+        sl = seg_loss_fn(seg, ms)
+        domain_loss = (
+            sigmoid_bce_with_logits(d_src, jnp.ones_like(d_src))
+            + sigmoid_bce_with_logits(d_tgt, jnp.zeros_like(d_tgt))) / 2.0
+        m = _seg_metrics(seg, ms, num_classes)
+        domain_acc = 0.5 * (jnp.mean((d_src >= 0).astype(jnp.float32))
+                            + jnp.mean((d_tgt < 0).astype(jnp.float32)))
+        m.update({"loss": sl + lam * domain_loss, "seg_loss": sl,
+                  "domain_loss": domain_loss, "domain_acc": domain_acc})
+        return m
+
     return step
 
 

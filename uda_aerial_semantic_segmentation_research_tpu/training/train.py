@@ -283,8 +283,13 @@ class SegmentationTrainer:
 
     def _place(self, *arrays):
         """Ship a batch to the device(s): async ``device_put`` on a single
-        device, ``P('data')`` sharding over the mesh (pass-through only
-        when a trailing batch doesn't divide the mesh)."""
+        device, ``P('data')`` sharding over the mesh.  A trailing batch
+        that doesn't divide the mesh passes through as host arrays when
+        single-process (jit replicates them); multi-process it is
+        trimmed/padded to divisibility instead — host arrays mixed with
+        non-addressable global state would crash (ADVICE round 4), and
+        even dataset shards make the alignment identical on every
+        process."""
         if self._mesh is None:
             return tuple(jax.device_put(a) if a is not None else None
                          for a in arrays)
@@ -294,7 +299,9 @@ class SegmentationTrainer:
 
         n = dist.local_mesh_device_count(self._mesh)
         if any(a is not None and a.shape[0] % n for a in arrays):
-            return arrays
+            if dist.process_count() == 1:
+                return arrays
+            arrays = dist.align_local_batch(n, arrays)
         return tuple(dist.global_batch(a, self._mesh) if a is not None
                      else None for a in arrays)
 

@@ -134,7 +134,13 @@ class MultiPhaseTrainer:
 
         n = dist.local_mesh_device_count(self._mesh)
         if any(a is not None and a.shape[0] % n for a in arrays):
-            return arrays if len(arrays) > 1 else arrays[0]
+            # single-process: host pass-through (jit replicates); multi-
+            # process: align instead — host arrays cannot mix with
+            # non-addressable global state (ADVICE round 4), and even
+            # shards make the alignment identical on every process
+            if dist.process_count() == 1:
+                return arrays if len(arrays) > 1 else arrays[0]
+            arrays = dist.align_local_batch(n, arrays)
         out = tuple(dist.global_batch(a, self._mesh) if a is not None
                     else None for a in arrays)
         return out if len(out) > 1 else out[0]
@@ -224,7 +230,11 @@ class MultiPhaseTrainer:
     def phase1_train(self, train_loader, val_loader, epochs: int = 50,
                      learning_rate: float = 1e-4, patience: int = 7):
         step = self._phase1_step()
-        eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
+        # val loss on the SAME smp-dice criterion the phase trains with
+        # (reference trainer_phases.py:56 passes the UDALoss criterion
+        # into _validate_phase1; ADVICE round 4)
+        eval_step = step_lib.make_eval_step(self.model.module,
+                                            self.num_classes, seg_loss="dice")
         state = self._engage_mesh(train_loader, self._state(learning_rate))
         best_iou, counter = -1.0, 0
 
@@ -266,15 +276,24 @@ class MultiPhaseTrainer:
     # ------------------------------------------------------------------
     def phase2_train(self, source_loader, target_loader, val_loader,
                      epochs: int = 30, learning_rate: float = 5e-5,
-                     patience: int = 7, alpha: float = 1.0):
+                     patience: int = 7, alpha: float = 1.0,
+                     target_val_loader=None):
+        """``target_val_loader``: unlabeled target batches for the
+        reference-faithful phase-2 validation (``_validate_phase2``
+        scores ``dice + 0.001*domain`` over source AND target val
+        batches and its domain_acc feeds the selection score); when
+        None, target TRAIN batches stand in (the repo's fixtures carry
+        no target val split)."""
         step = self._phase2_step()
-        eval_step = step_lib.make_eval_step(self.model.module, self.num_classes)
+        eval_step = step_lib.make_grl_eval_step(
+            self.model.module, self.num_classes,
+            lambda_domain=self.lambda_domain)
         state = self._engage_mesh(source_loader, self._state(learning_rate))
         best_score, counter = -1.0, 0
         target_iter = _cycle_raw(target_loader)
 
         for epoch in range(1, epochs + 1):
-            domain_accs = []
+            train_domain_accs = []
             for src_images, src_masks in _raw_batches(source_loader):
                 tgt_images, _ = next(target_iter)
                 b = src_images.shape[0]
@@ -285,11 +304,17 @@ class MultiPhaseTrainer:
                     src_images, src_masks, tgt_images)
                 state, m = step(state, self._next_key(), src_images, src_masks,
                                 tgt_images, jnp.float32(alpha))
-                domain_accs.append(float(m["domain_acc"]))
+                train_domain_accs.append(float(m["domain_acc"]))
+            if train_domain_accs:
+                self._log_metrics(
+                    {"domain_acc": float(np.mean(train_domain_accs))},
+                    epoch, "phase2/train")
 
-            val = self._validate_phase2(val_loader, state, eval_step)
-            val["domain_acc"] = float(np.mean(domain_accs)) if domain_accs else 0.0
-            # combined model-selection score (reference :196)
+            val = self._validate_phase2(val_loader,
+                                        target_val_loader or target_loader,
+                                        state, eval_step)
+            # combined model-selection score over VAL metrics
+            # (reference :196-199: val_iou * val_domain_acc)
             score = val["iou"] * val["domain_acc"]
             val["score"] = score
             self._log_metrics(val, epoch, "phase2/val")
@@ -304,8 +329,31 @@ class MultiPhaseTrainer:
         state.write_back(self.model)
         return best_score
 
-    def _validate_phase2(self, val_loader, state, eval_step) -> Dict[str, float]:
-        return self._validate_phase1(val_loader, state, eval_step)
+    def _validate_phase2(self, val_loader, target_val_loader, state,
+                         eval_step) -> Dict[str, float]:
+        """Reference _validate_phase2 (trainer_phases.py:305-369): per
+        source-val batch, a cycling target-val batch; val loss is the
+        full ``dice + lambda*domain`` and domain_acc is measured on the
+        VAL batches of both domains."""
+        from uda_aerial_semantic_segmentation_research_tpu.training.train import (
+            _local_eval_variables,
+        )
+
+        params, stats = _local_eval_variables(state.params, state.batch_stats)
+        target_iter = _cycle_raw(target_val_loader)
+        acc: Dict[str, list] = {}
+        for images, masks in _raw_batches(val_loader):
+            tgt_images, _ = next(target_iter)
+            b = images.shape[0]
+            if tgt_images.shape[0] != b:
+                reps = -(-b // tgt_images.shape[0])
+                tgt_images = np.concatenate([tgt_images] * reps)[:b]
+            m = eval_step(params, stats, images, masks, tgt_images)
+            for k in ("iou", "accuracy", "loss", "domain_acc"):
+                acc.setdefault(k, []).append(float(m[k]))
+        return {k: float(np.mean(v)) if v else 0.0
+                for k, v in ((k, acc.get(k, [])) for k in
+                             ("iou", "accuracy", "loss", "domain_acc"))}
 
     # ------------------------------------------------------------------
     # phase 3: consistency fine-tuning (reference :210-277)
