@@ -77,7 +77,9 @@ def test_process_shard_indices_even():
 @pytest.mark.smoke
 def test_align_local_batch():
     """Trailing-batch alignment: trim to a multiple of n, or cycle-pad
-    up to n when the batch is smaller than n; None passes through."""
+    up to n when the batch is smaller than n; None passes through, and
+    each array is aligned INDEPENDENTLY (leading dims may differ, e.g.
+    a full target batch next to a short trailing supervised batch)."""
     imgs = np.arange(7 * 2).reshape(7, 2)
     masks = np.arange(7)
     out_i, out_m = dist.align_local_batch(4, (imgs, masks))
@@ -91,6 +93,20 @@ def test_align_local_batch():
     # already divisible: unchanged objects
     a = np.arange(8)
     assert dist.align_local_batch(4, (a,))[0] is a
+    # mixed leading dims: the divisible array is untouched, the ragged
+    # one is aligned on its own (regression: alignment keyed off the
+    # first array's dim left later arrays ragged or over-trimmed)
+    tgt, sup = np.arange(16), np.arange(5)
+    out_t, out_s = dist.align_local_batch(4, (tgt, sup))
+    assert out_t is tgt and out_s.shape[0] == 4
+    out_s2, out_t2 = dist.align_local_batch(4, (sup, tgt))
+    assert out_t2 is tgt and out_s2.shape[0] == 4
+
+
+@pytest.mark.smoke
+def test_broadcast_from_primary_single_process_identity():
+    vals = np.asarray([1.0, 2.0, 3.0])
+    assert dist.broadcast_from_primary(vals) is vals
 
 
 @pytest.mark.smoke

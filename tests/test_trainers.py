@@ -357,6 +357,20 @@ def test_grl_eval_step_matches_reference_assembly(workspace):
                                         domain_only=True)
     np.testing.assert_array_equal(np.asarray(d_tgt), np.asarray(d_tgt_only))
 
+    # the 'ce' ablation branch assembles ce + lambda*domain
+    from uda_aerial_semantic_segmentation_research_tpu.ops.losses import (
+        softmax_cross_entropy,
+    )
+
+    m_ce = step_lib.make_grl_eval_step(bundle.module, CLASSES,
+                                       lambda_domain=0.001, seg_loss="ce")(
+        bundle.params, bundle.batch_stats, src, masks, tgt)
+    ce = float(softmax_cross_entropy(seg, jnp.asarray(masks)))
+    np.testing.assert_allclose(float(m_ce["loss"]), ce + 0.001 * domain,
+                               rtol=1e-5)
+    with pytest.raises(ValueError):
+        step_lib.make_grl_eval_step(bundle.module, CLASSES, seg_loss="focal")
+
 
 def test_multiphase_mesh_engagement(workspace):
     """The alt trainer auto-engages the data mesh like the active-path

@@ -50,6 +50,7 @@ __all__ = [
     "process_shard_indices",
     "shard_dataset",
     "align_local_batch",
+    "broadcast_from_primary",
     "local_mesh_device_count",
     "global_batch",
     "replicate_global",
@@ -200,7 +201,9 @@ def align_local_batch(n: int, arrays):
     Multi-process trailing-batch handling for the trainers' ``_place``:
     a ragged local batch cannot fall back to host numpy there (mixing
     locally-committed inputs with non-addressable global state fails
-    with an incompatible-devices error), so align it — trim ``b`` to
+    with an incompatible-devices error), so align it — each array
+    independently (leading dims may legitimately differ, e.g. a target
+    batch next to a short trailing supervised batch): trim ``b`` to
     ``n * (b // n)`` rows, or, when ``b < n``, pad by cycling rows up to
     ``n`` (a slightly oversampled final batch beats dropping it).  With
     even dataset shards (``shard_dataset(even=True)``) every process
@@ -209,15 +212,35 @@ def align_local_batch(n: int, arrays):
     """
     import numpy as np
 
-    b = next(a.shape[0] for a in arrays if a is not None)
-    if b % n == 0:
-        return arrays
-    if b >= n:
-        keep = n * (b // n)
-        return type(arrays)(a[:keep] if a is not None else None
-                            for a in arrays)
-    idx = np.arange(n) % b
-    return type(arrays)(a[idx] if a is not None else None for a in arrays)
+    def fix(a):
+        if a is None:
+            return None
+        b = a.shape[0]
+        if b % n == 0:
+            return a
+        if b >= n:
+            return a[:n * (b // n)]
+        return a[np.arange(n) % b]
+
+    return type(arrays)(fix(a) for a in arrays)
+
+
+def broadcast_from_primary(values):
+    """Process 0's ``values`` (host array/pytree) on EVERY process;
+    identity when single-process.
+
+    For control-flow inputs that cannot be made bit-identical everywhere
+    by construction — e.g. validation terms scored on process-local
+    batches of a sharded/shuffled loader — broadcasting process 0's
+    result keeps early-stopping counters, best-checkpoint selection and
+    phase gates in lockstep across hosts (a process whose control flow
+    diverges stops joining the others' collectives: a distributed hang).
+    """
+    if process_count() == 1:
+        return values
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(values)
 
 
 def local_mesh_device_count(mesh) -> int:

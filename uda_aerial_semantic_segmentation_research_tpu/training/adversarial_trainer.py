@@ -49,6 +49,21 @@ def _cycle_raw(dataloader):
             raise ValueError("empty target dataloader")
 
 
+def match_batch_size(arr, b):
+    """Cycle-repeat then trim ``arr`` to exactly ``b`` leading rows.
+
+    Every source batch is paired with one target batch (reference
+    :62-73); a short (trailing) target batch is padded by cycling its
+    rows, an oversized one trimmed, so the jitted step always sees
+    matching static batch shapes.  Shared by the adversarial trainer
+    and both MultiPhaseTrainer phase-2 loops.
+    """
+    if arr.shape[0] < b:
+        reps = -(-b // arr.shape[0])
+        arr = np.concatenate([arr] * reps)
+    return arr[:b] if arr.shape[0] > b else arr
+
+
 class AdversarialTrainer(SegmentationTrainer):
     """Adversarial UDA trainer (reference src/models/adversarial_trainer.py)."""
 
@@ -115,12 +130,7 @@ class AdversarialTrainer(SegmentationTrainer):
         for batch_idx, (src_images, src_masks) in enumerate(pbar):
             tgt_images, _ = next(target_iter)
             # static-shape guard: match target batch to source batch size
-            b = src_images.shape[0]
-            if tgt_images.shape[0] < b:
-                reps = -(-b // tgt_images.shape[0])
-                tgt_images = np.concatenate([tgt_images] * reps)[:b]
-            elif tgt_images.shape[0] > b:
-                tgt_images = tgt_images[:b]
+            tgt_images = match_batch_size(tgt_images, src_images.shape[0])
 
             src_images, src_masks, tgt_images = self._place(
                 src_images, src_masks, tgt_images)

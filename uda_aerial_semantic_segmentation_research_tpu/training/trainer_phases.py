@@ -54,6 +54,7 @@ from uda_aerial_semantic_segmentation_research_tpu.ops.augment import (
 from uda_aerial_semantic_segmentation_research_tpu.training import steps as step_lib
 from uda_aerial_semantic_segmentation_research_tpu.training.adversarial_trainer import (
     _cycle_raw,
+    match_batch_size,
 )
 from uda_aerial_semantic_segmentation_research_tpu.training.state import (
     TrainState,
@@ -296,10 +297,7 @@ class MultiPhaseTrainer:
             train_domain_accs = []
             for src_images, src_masks in _raw_batches(source_loader):
                 tgt_images, _ = next(target_iter)
-                b = src_images.shape[0]
-                if tgt_images.shape[0] != b:
-                    reps = -(-b // tgt_images.shape[0])
-                    tgt_images = np.concatenate([tgt_images] * reps)[:b]
+                tgt_images = match_batch_size(tgt_images, src_images.shape[0])
                 src_images, src_masks, tgt_images = self._place(
                     src_images, src_masks, tgt_images)
                 state, m = step(state, self._next_key(), src_images, src_masks,
@@ -310,9 +308,11 @@ class MultiPhaseTrainer:
                     {"domain_acc": float(np.mean(train_domain_accs))},
                     epoch, "phase2/train")
 
-            val = self._validate_phase2(val_loader,
-                                        target_val_loader or target_loader,
-                                        state, eval_step)
+            val = self._validate_phase2(
+                val_loader,
+                target_val_loader if target_val_loader is not None
+                else target_loader,
+                state, eval_step)
             # combined model-selection score over VAL metrics
             # (reference :196-199: val_iou * val_domain_acc)
             score = val["iou"] * val["domain_acc"]
@@ -332,28 +332,40 @@ class MultiPhaseTrainer:
     def _validate_phase2(self, val_loader, target_val_loader, state,
                          eval_step) -> Dict[str, float]:
         """Reference _validate_phase2 (trainer_phases.py:305-369): per
-        source-val batch, a cycling target-val batch; val loss is the
-        full ``dice + lambda*domain`` and domain_acc is measured on the
-        VAL batches of both domains."""
+        source-val batch, a fresh cycling target-val iterator; val loss
+        is the full ``dice + lambda*domain`` and domain_acc is measured
+        on the VAL batches of both domains.
+
+        Multi-process: the target side of these metrics is scored on
+        process-LOCAL batches (a sharded and/or shuffled target loader
+        draws different images per host), so the raw means can diverge
+        across processes — and the selection score / patience counter
+        with them, which would desynchronize the SPMD epoch loops.
+        Process 0's metrics are therefore broadcast to every process,
+        keeping control flow in lockstep (the full-val-on-every-process
+        design covers only the source-val terms).
+        """
+        from uda_aerial_semantic_segmentation_research_tpu.parallel import (
+            distributed as dist,
+        )
         from uda_aerial_semantic_segmentation_research_tpu.training.train import (
             _local_eval_variables,
         )
 
         params, stats = _local_eval_variables(state.params, state.batch_stats)
         target_iter = _cycle_raw(target_val_loader)
-        acc: Dict[str, list] = {}
+        keys = ("iou", "accuracy", "loss", "domain_acc")
+        acc: Dict[str, list] = {k: [] for k in keys}
         for images, masks in _raw_batches(val_loader):
             tgt_images, _ = next(target_iter)
-            b = images.shape[0]
-            if tgt_images.shape[0] != b:
-                reps = -(-b // tgt_images.shape[0])
-                tgt_images = np.concatenate([tgt_images] * reps)[:b]
+            tgt_images = match_batch_size(tgt_images, images.shape[0])
             m = eval_step(params, stats, images, masks, tgt_images)
-            for k in ("iou", "accuracy", "loss", "domain_acc"):
-                acc.setdefault(k, []).append(float(m[k]))
-        return {k: float(np.mean(v)) if v else 0.0
-                for k, v in ((k, acc.get(k, [])) for k in
-                             ("iou", "accuracy", "loss", "domain_acc"))}
+            for k in keys:
+                acc[k].append(float(m[k]))
+        vals = np.asarray([float(np.mean(acc[k])) if acc[k] else 0.0
+                           for k in keys], np.float64)
+        vals = np.asarray(dist.broadcast_from_primary(vals))
+        return dict(zip(keys, (float(v) for v in vals)))
 
     # ------------------------------------------------------------------
     # phase 3: consistency fine-tuning (reference :210-277)
