@@ -156,9 +156,12 @@ def test_two_process_step_matches_single_process(tmp_path):
     and loss as one process over 8 devices."""
     import jax
 
+    # 2x the standalone runtime headroom: inside a full-suite run on the
+    # 1-core host the two coordinated workers can exceed the default
+    # 600 s (observed flake); standalone the test takes ~5 min
     result = dist.dryrun_multihost(num_processes=2, devices_per_process=4,
                                    global_batch_size=8,
-                                   out_dir=str(tmp_path))
+                                   out_dir=str(tmp_path), timeout=1500.0)
     assert np.isfinite(result["loss"])
     # height-sharded forward whose halo exchanges cross the process
     # boundary reproduced the unsharded forward on every process
